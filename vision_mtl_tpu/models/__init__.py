@@ -1,0 +1,1 @@
+from vision_mtl_tpu.models.registry import build_model  # noqa: F401

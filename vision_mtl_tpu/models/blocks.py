@@ -1,0 +1,186 @@
+"""Shared NHWC Flax building blocks.
+
+Initialization matches torch defaults (kaiming_uniform(a=sqrt(5)) for conv
+kernels, uniform(+-1/sqrt(fan_in)) for biases) so that from-scratch training
+dynamics track the reference. BatchNorm runs in float32 with torch's
+eps=1e-5 / momentum=0.1 (flax momentum=0.9 == fraction retained); convolutions
+compute in the configured dtype (bfloat16 by default) to hit the MXU.
+"""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)),
+# fan_in = in_ch * kh * kw. variance_scaling limit = sqrt(3*scale/fan_in).
+torch_conv_kernel_init = nn.initializers.variance_scaling(
+    scale=1.0 / 3.0, mode="fan_in", distribution="uniform"
+)
+
+
+def torch_conv_bias_init(
+    key: jax.Array, shape: t.Sequence[int], dtype: t.Any, fan_in: int
+) -> jax.Array:
+    bound = 1.0 / (fan_in**0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-default init. NHWC; kernel HWIO."""
+
+    features: int
+    kernel_size: t.Tuple[int, int] = (3, 3)
+    strides: t.Tuple[int, int] = (1, 1)
+    # "torch": explicit symmetric ((k-1)//2) padding — identical to torch
+    # Conv2d(padding=(k-1)//2) for every stride, unlike XLA "SAME" which
+    # pads asymmetrically for stride 2 (would break weight-porting parity).
+    padding: t.Any = "torch"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        padding = self.padding
+        if padding == "torch":
+            ph = (self.kernel_size[0] - 1) // 2
+            pw = (self.kernel_size[1] - 1) // 2
+            padding = ((ph, ph), (pw, pw))
+        in_ch = x.shape[-1]
+        fan_in = (
+            (in_ch // self.feature_group_count)
+            * self.kernel_size[0]
+            * self.kernel_size[1]
+        )
+        bias_init = (
+            (lambda key, shape, dtype=jnp.float32: torch_conv_bias_init(
+                key, shape, dtype, fan_in
+            ))
+            if self.use_bias
+            else nn.initializers.zeros_init()
+        )
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=padding,
+            feature_group_count=self.feature_group_count,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults, computed in f32.
+
+    Under jit over a sharded batch the mean/var reductions become global
+    collectives automatically (GSPMD), giving cross-replica-synced BN for free.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9  # torch momentum 0.1 -> flax retain fraction 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+
+
+def hard_sigmoid(x: jax.Array) -> jax.Array:
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+def hard_swish(x: jax.Array) -> jax.Array:
+    return x * hard_sigmoid(x)
+
+
+ACTIVATIONS: t.Dict[str, t.Callable[[jax.Array], jax.Array]] = {
+    "relu": nn.relu,
+    "hardswish": hard_swish,
+    "identity": lambda x: x,
+}
+
+
+class ConvBNAct(nn.Module):
+    """conv -> BN -> activation."""
+
+    features: int
+    kernel_size: t.Tuple[int, int] = (3, 3)
+    strides: t.Tuple[int, int] = (1, 1)
+    groups: int = 1
+    act: str = "relu"
+    use_bias: bool = False
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = Conv(
+            self.features,
+            self.kernel_size,
+            self.strides,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        x = BatchNorm(use_running_average=not train)(x)
+        return ACTIVATIONS[self.act](x)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 -> BN -> ReLU) * 2 — reference utils/model_utils.py:61-80."""
+
+    features: int
+    mid_features: t.Optional[int] = None
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mid = self.mid_features or self.features
+        x = ConvBNAct(mid, (3, 3), act="relu", dtype=self.dtype)(x, train)
+        x = ConvBNAct(self.features, (3, 3), act="relu", dtype=self.dtype)(x, train)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """MobileNetV3 squeeze-excite: global pool -> fc-relu -> fc-hardsigmoid
+    gate."""
+
+    reduced_features: int
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = Conv(self.reduced_features, (1, 1), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = Conv(x.shape[-1], (1, 1), dtype=self.dtype)(s)
+        return x * hard_sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+
+
+def max_pool_2x(x: jax.Array) -> jax.Array:
+    """MaxPool2d(kernel_size=2, stride=2) NHWC. Torch floors odd sizes; the
+    window trims the trailing row/col the same way with VALID padding."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
+
+
+def make_divisible(v: float, divisor: int = 8, min_value: t.Optional[int] = None) -> int:
+    """Channel rounding used throughout the MobileNetV3 family."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v

@@ -1,0 +1,211 @@
+"""MTAN — Multi-Task Attention Network on a mini-Unet global net.
+
+Re-implementation of the reference's custom MTAN (reference
+models/mtan_model.py:12-404): a shared mini-Unet "global" network with
+per-task attention sub-networks threaded alongside it. Per encoder level a
+task stream computes a sigmoid gate from (shared input, previous task
+features) and modulates the shared DoubleConv output; per decoder level the
+gate is computed from the merged skip features and the upsampled task stream.
+Task heads are 1x1 convs applied to the final per-task streams.
+
+Fully static control flow (python loops over fixed level/task counts unroll at
+trace time); all ops are conv/elementwise and fuse under XLA. The sigmoid-gate
+modulation is elementwise and fuses into the surrounding convs (SURVEY.md §7.8
+— measured to not need a Pallas kernel).
+
+Trained config (reference utils/pipeline_utils.py:105-111):
+encoder_first_channel=32, encoder_num_channels=4, hidden=128.
+"""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_mtl_tpu.models.blocks import (
+    BatchNorm,
+    Conv,
+    DoubleConv,
+    max_pool_2x,
+)
+from vision_mtl_tpu.ops.interpolate import (
+    pad_concat,
+    resize_bilinear_align_corners,
+)
+
+
+class AttentionModuleEncoder(nn.Module):
+    """Encoder-side task attention (reference mtan_model.py:12-83):
+    concat(shared1, prev) -> 1x1 conv-BN-ReLU -> 1x1 conv-BN-sigmoid gate
+    * shared2 -> 3x3 conv-BN-ReLU -> maxpool."""
+
+    out_channels: int
+    shared_2_channels: int
+    hidden_channels: int = 64
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        conv1_shared: jax.Array,
+        conv2_shared: jax.Array,
+        prev_layer_outs: t.Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        if prev_layer_outs is None:
+            h = conv1_shared
+        else:
+            h = jnp.concatenate(
+                [conv1_shared, prev_layer_outs.astype(conv1_shared.dtype)], axis=-1
+            )
+        h = Conv(self.hidden_channels, (1, 1), dtype=self.dtype)(h)
+        h = BatchNorm(use_running_average=not train)(h)
+        h = nn.relu(h)
+        h = Conv(self.shared_2_channels, (1, 1), dtype=self.dtype)(h)
+        h = BatchNorm(use_running_average=not train)(h)
+        attn = nn.sigmoid(h)
+        g = conv2_shared.astype(jnp.float32) * attn
+        g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g.astype(self.dtype))
+        g = BatchNorm(use_running_average=not train)(g)
+        g = nn.relu(g)
+        return max_pool_2x(g)
+
+
+class AttentionModuleDecoder(nn.Module):
+    """Decoder-side task attention (reference mtan_model.py:86-169): 3x3 conv
+    on prev task stream (+bilinear x2 align_corners upsample on scale
+    mismatch) -> concat with shared1 -> two 1x1 convs -> sigmoid gate *
+    shared2 -> 3x3 out conv."""
+
+    shared_2_channels: int
+    out_channels: int
+    hidden_channels: int = 64
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        conv1_shared: jax.Array,
+        prev_layer_outs: jax.Array,
+        conv2_shared: jax.Array,
+        train: bool = False,
+    ) -> jax.Array:
+        p = Conv(self.hidden_channels, (3, 3), dtype=self.dtype)(prev_layer_outs)
+        p = BatchNorm(use_running_average=not train)(p)
+        p = nn.relu(p)
+        if conv1_shared.shape[1:3] != p.shape[1:3]:
+            p = resize_bilinear_align_corners(
+                p, conv1_shared.shape[1], conv1_shared.shape[2]
+            )
+        merged = jnp.concatenate(
+            [conv1_shared, p.astype(conv1_shared.dtype)], axis=-1
+        )
+        h = Conv(self.hidden_channels, (1, 1), dtype=self.dtype)(merged)
+        h = BatchNorm(use_running_average=not train)(h)
+        h = nn.relu(h)
+        h = Conv(self.shared_2_channels, (1, 1), dtype=self.dtype)(h)
+        h = BatchNorm(use_running_average=not train)(h)
+        attn = nn.sigmoid(h)
+        g = conv2_shared.astype(jnp.float32) * attn
+        g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g.astype(self.dtype))
+        g = BatchNorm(use_running_average=not train)(g)
+        return nn.relu(g)
+
+
+class MTANMiniUnet(nn.Module):
+    """Mini-Unet global net + per-task attention streams
+    (reference mtan_model.py:246-404)."""
+
+    map_tasks_to_num_channels: t.Dict[str, int]
+    task_subnets_hidden_channels: int = 128
+    encoder_first_channel: int = 64
+    encoder_num_channels: int = 4
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> t.Dict[str, jax.Array]:
+        task_names = list(self.map_tasks_to_num_channels.keys())
+        n_tasks = len(task_names)
+        hidden = self.task_subnets_hidden_channels
+
+        enc_out = [
+            self.encoder_first_channel * (2**i)
+            for i in range(self.encoder_num_channels)
+        ]
+        dec_out = enc_out[::-1]
+
+        # ---- encoder: shared DoubleConv levels + per-task gated streams ----
+        shared = x
+        task_streams: t.List[t.Optional[jax.Array]] = [None] * n_tasks
+        encoder_features: t.List[jax.Array] = []
+        for i, ch in enumerate(enc_out):
+            level_in = shared
+            dconv_out = DoubleConv(ch, dtype=self.dtype, name=f"enc_dconv_{i}")(
+                level_in, train
+            )
+            new_streams: t.List[jax.Array] = []
+            for ti in range(n_tasks):
+                new_streams.append(
+                    AttentionModuleEncoder(
+                        out_channels=ch,
+                        shared_2_channels=ch,
+                        hidden_channels=hidden,
+                        dtype=self.dtype,
+                        name=f"enc_attn_{i}_task{ti}",
+                    )(level_in, dconv_out, task_streams[ti], train)
+                )
+            task_streams = new_streams
+            encoder_features.append(dconv_out)
+            shared = max_pool_2x(dconv_out)
+
+        # ---- bottleneck ----
+        shared = DoubleConv(
+            enc_out[-1] * 2, dtype=self.dtype, name="bottleneck"
+        )(shared, train)
+
+        # ---- decoder: ConvTranspose up + pad-concat skip + DoubleConv ----
+        for i, ch in enumerate(dec_out):
+            in_ch = shared.shape[-1]
+            up = nn.ConvTranspose(
+                features=in_ch // 2,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"dec_up_{i}",
+            )(shared)
+            skip = encoder_features[-(i + 1)]
+            merged = pad_concat(up, skip.astype(up.dtype))
+            conv_out = DoubleConv(ch, dtype=self.dtype, name=f"dec_dconv_{i}")(
+                merged, train
+            )
+            new_streams = []
+            for ti in range(n_tasks):
+                new_streams.append(
+                    AttentionModuleDecoder(
+                        shared_2_channels=ch,
+                        out_channels=ch,
+                        hidden_channels=hidden,
+                        dtype=self.dtype,
+                        name=f"dec_attn_{i}_task{ti}",
+                    )(merged, task_streams[ti], conv_out, train)
+                )
+            task_streams = new_streams
+            shared = conv_out
+
+        # ---- per-task 1x1 heads on the final task streams ----
+        out: t.Dict[str, jax.Array] = {}
+        for ti, task_name in enumerate(task_names):
+            out[task_name] = Conv(
+                self.map_tasks_to_num_channels[task_name],
+                (1, 1),
+                dtype=self.dtype,
+                name=f"head_{task_name}",
+            )(task_streams[ti]).astype(jnp.float32)
+        return out

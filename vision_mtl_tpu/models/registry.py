@@ -1,0 +1,57 @@
+"""Model zoo — mirrors the reference's ``build_model`` switch
+(reference utils/pipeline_utils.py:80-136) with the same trained configs:
+
+  * basic: decoder_first_channel=540, 5 decoder layers (~13.3M params)
+  * mtan:  encoder_first_channel=32, 4 encoder levels, hidden=128
+  * csnet: two per-task Unets (decoder_first_channel=256) + stitch units,
+           channel-wise stitching by default
+"""
+
+from __future__ import annotations
+
+import argparse
+import typing as t
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_mtl_tpu.cfg import DataConfig
+
+
+def build_model(
+    args: argparse.Namespace, data_cfg: DataConfig, dtype: t.Any = jnp.bfloat16
+) -> nn.Module:
+    model_name = getattr(args, "model_name", "basic")
+    if model_name == "basic":
+        from vision_mtl_tpu.models.basic import BasicMTLModel
+
+        return BasicMTLModel(
+            segm_classes=data_cfg.num_classes,
+            decoder_first_channel=540,
+            num_decoder_layers=5,
+            dtype=dtype,
+        )
+    if model_name == "mtan":
+        from vision_mtl_tpu.models.mtan import MTANMiniUnet
+
+        return MTANMiniUnet(
+            map_tasks_to_num_channels={
+                "depth": 1,
+                "segm": data_cfg.num_classes,
+            },
+            task_subnets_hidden_channels=128,
+            encoder_first_channel=32,
+            encoder_num_channels=4,
+            dtype=dtype,
+        )
+    if model_name == "csnet":
+        from vision_mtl_tpu.models.cross_stitch import CSNet
+
+        return CSNet(
+            task_channels={"depth": 1, "segm": data_cfg.num_classes},
+            decoder_first_channel=256,
+            num_decoder_layers=5,
+            channel_wise_stitching=getattr(args, "channel_wise_stitching", True),
+            dtype=dtype,
+        )
+    raise NotImplementedError(f"Unknown model name: {model_name}")

@@ -1,0 +1,82 @@
+"""CLI argument surface — flag-for-flag parity with the reference parser
+(reference: vision_mtl/utils/utils.py:8-49), plus TPU-specific additions kept
+in their own group so the reference surface stays a strict subset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import typing as t
+
+
+def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser()
+
+    pipe_args = parser.add_argument_group("pipe")
+    pipe_args.add_argument("--do_overfit", action="store_true")
+    pipe_args.add_argument("--do_optimize", action="store_true")
+    pipe_args.add_argument("--do_plot_preds", action="store_true")
+    pipe_args.add_argument("--do_show_preds", action="store_true")
+    pipe_args.add_argument("--exp_disabled", action="store_true")
+    pipe_args.add_argument("--ckpt_dir")
+    pipe_args.add_argument("--run_name")
+    pipe_args.add_argument("--device", default="tpu")
+    pipe_args.add_argument("--exp_tags", nargs="*", default=[])
+
+    model_args = parser.add_argument_group("model")
+    model_args.add_argument(
+        "--model_name", choices=["basic", "mtan", "csnet"], default="basic"
+    )
+    model_args.add_argument("--backbone_weights", choices=["imagenet"])
+    model_args.add_argument("--channel_wise_stitching", action="store_true")
+
+    data_args = parser.add_argument_group("data")
+    data_args.add_argument(
+        "--dataset_name",
+        choices=["cityscapes", "nyuv2", "synthetic"],
+        default="cityscapes",
+    )
+    data_args.add_argument("--batch_size", type=int, default=1)
+    data_args.add_argument("--num_workers", type=int, default=0)
+
+    optuna_args = parser.add_argument_group("opt")
+    optuna_args.add_argument("--n_trials", type=int, default=7)
+    optuna_args.add_argument("--n_jobs", type=int, default=2)
+
+    trainer_args = parser.add_argument_group("trainer")
+    trainer_args.add_argument("--lr", type=float, default=5e-3)
+    trainer_args.add_argument("--loss_segm_weight", type=float, default=1.0)
+    trainer_args.add_argument("--loss_depth_weight", type=float, default=1.0)
+    trainer_args.add_argument("--num_epochs", type=int, default=10)
+    trainer_args.add_argument("--val_epoch_freq", type=int, default=1)
+    trainer_args.add_argument("--save_epoch_freq", type=int, default=10)
+
+    tpu_args = parser.add_argument_group("tpu")
+    tpu_args.add_argument(
+        "--mesh_shape",
+        type=str,
+        default="data:-1",
+        help="Device mesh as 'axis:size,axis:size'; -1 = all remaining devices. "
+        "Axes: data (batch), spatial (H sharding for large images).",
+    )
+    tpu_args.add_argument("--seed", type=int, default=11)
+    tpu_args.add_argument(
+        "--precision",
+        choices=["bf16", "f32"],
+        default="bf16",
+        help="Compute precision (params always f32).",
+    )
+
+    args, _ = parser.parse_known_args(argv)
+    return args
+
+
+def update_args(
+    args: argparse.Namespace, kv_map: t.Dict[str, t.Any]
+) -> argparse.Namespace:
+    """Update existing keys in args with new values
+    (reference utils/utils.py:70-77)."""
+    for k, v in kv_map.items():
+        assert hasattr(args, k), k
+        setattr(args, k, v)
+    return args
