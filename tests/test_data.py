@@ -1,0 +1,101 @@
+"""Data layer: synthetic datasets, datamodule splits, loader batching/padding,
+mesh spec parsing."""
+
+import numpy as np
+import pytest
+
+from vision_mtl_tpu.data.datamodule import MTLDataModule
+from vision_mtl_tpu.data.loader import DataLoader
+from vision_mtl_tpu.data.synthetic import SyntheticMTLDataset
+from vision_mtl_tpu.parallel.mesh import create_mesh, parse_mesh_shape
+
+
+def test_synthetic_sample_contract():
+    ds = SyntheticMTLDataset(stage="train")
+    s = ds[0]
+    assert s["img"].shape == (64, 64, 3) and s["img"].dtype == np.float32
+    assert s["mask"].shape == (64, 64) and s["mask"].dtype == np.int32
+    assert s["depth"].shape == (64, 64, 1) and s["depth"].dtype == np.float32
+    # deterministic per index
+    s2 = ds[0]
+    np.testing.assert_array_equal(s["img"], s2["img"])
+
+
+def test_benchmark_batch():
+    ds = SyntheticMTLDataset(stage="train")
+    b = ds.load_benchmark_batch()
+    assert b["img"].shape == (4, 64, 64, 3)
+    assert b["mask"].shape == (4, 64, 64)
+    assert b["depth"].shape == (4, 64, 64, 1)
+
+
+def test_datamodule_split_seeded():
+    dm1 = MTLDataModule("synthetic", batch_size=4, seed=11)
+    dm1.setup()
+    dm2 = MTLDataModule("synthetic", batch_size=4, seed=11)
+    dm2.setup()
+    assert dm1.data_train.indices == dm2.data_train.indices
+    assert len(dm1.data_train) == int(64 * 0.8)
+    assert len(dm1.data_val) == 64 - int(64 * 0.8)
+    # train/val are disjoint
+    assert not set(dm1.data_train.indices) & set(dm1.data_val.indices)
+
+    dm3 = MTLDataModule("synthetic", batch_size=4, seed=12)
+    dm3.setup()
+    assert dm3.data_train.indices != dm1.data_train.indices
+
+
+def test_datamodule_overfit_mode():
+    dm = MTLDataModule("synthetic", batch_size=4, do_overfit=True)
+    dm.setup()
+    assert len(dm.data_train) == 4
+    assert dm.data_train is dm.data_val
+    assert dm.data_test is dm.data_train
+    assert dm.data_predict is dm.data_train
+
+
+def test_train_loader_drops_ragged_last():
+    ds = SyntheticMTLDataset(stage="train")  # 64 samples
+    dl = DataLoader(ds, batch_size=10, shuffle=True, seed=0, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 6
+    assert all(b["img"].shape[0] == 10 for b in batches)
+    # reshuffles across epochs
+    b1 = list(dl)[0]["img"]
+    assert not np.array_equal(batches[0]["img"], b1)
+
+
+def test_eval_loader_pads_last():
+    ds = SyntheticMTLDataset(stage="val")  # 16 samples
+    dl = DataLoader(ds, batch_size=5, pad_last=True)
+    batches = list(dl)
+    assert len(batches) == 4
+    last = batches[-1]
+    assert last["img"].shape[0] == 5
+    np.testing.assert_array_equal(last["valid"], [1, 0, 0, 0, 0])
+    for b in batches[:-1]:
+        np.testing.assert_array_equal(b["valid"], np.ones(5))
+
+
+def test_loader_threaded_matches_serial():
+    ds = SyntheticMTLDataset(stage="val")
+    serial = list(DataLoader(ds, batch_size=4))
+    threaded = list(DataLoader(ds, batch_size=4, num_workers=4))
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a["img"], b["img"])
+
+
+def test_parse_mesh_shape():
+    assert parse_mesh_shape("data:-1", 8) == {"data": 8}
+    assert parse_mesh_shape("data:4,spatial:2", 8) == {"data": 4, "spatial": 2}
+    assert parse_mesh_shape("data:-1,spatial:2", 8) == {"data": 4, "spatial": 2}
+    with pytest.raises(ValueError):
+        parse_mesh_shape("data:3", 8)
+    with pytest.raises(ValueError):
+        parse_mesh_shape("data:-1,spatial:-1", 8)
+
+
+def test_create_mesh_axes():
+    mesh = create_mesh("data:4,spatial:2")
+    assert mesh.axis_names == ("data", "spatial")
+    assert mesh.shape["data"] == 4 and mesh.shape["spatial"] == 2

@@ -26,17 +26,28 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def cross_entropy_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    valid: t.Optional[jax.Array] = None,
+) -> jax.Array:
     """Mean softmax cross-entropy.
 
     Args:
       logits: (B, H, W, C) float.
       labels: (B, H, W) int class ids in [0, C).
+      valid: optional (B,) per-sample weights (padded-batch support) — the
+        mean is taken over valid samples only, so a padded final eval batch
+        reproduces the reference's smaller-last-batch mean exactly.
     """
     logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    if valid is None:
+        return jnp.mean(nll)
+    w = valid.astype(jnp.float32)[:, None, None]
+    denom = jnp.maximum(jnp.sum(w) * nll.shape[1] * nll.shape[2], 1.0)
+    return jnp.sum(nll * w) / denom
 
 
 def silog_loss(
@@ -44,6 +55,7 @@ def silog_loss(
     target: jax.Array,
     mask: t.Optional[jax.Array] = None,
     min_depth: float = 1e-3,
+    valid: t.Optional[jax.Array] = None,
 ) -> jax.Array:
     """Scale-invariant log loss with validity masking.
 
@@ -51,6 +63,7 @@ def silog_loss(
       pred: (B, H, W, 1) strictly-positive depth predictions (post-sigmoid).
       target: (B, H, W, 1) ground-truth depth.
       mask: optional boolean validity mask; defaults to target > min_depth.
+      valid: optional (B,) per-sample weights, AND-ed into the mask.
 
     Returns scalar: 10 * sqrt(Var_unbiased(g) + 0.15 * mean(g)^2) over masked
     pixels, g = log(pred) - log(target).
@@ -59,6 +72,10 @@ def silog_loss(
     target = target.astype(jnp.float32)
     if mask is None:
         mask = target > min_depth
+    if valid is not None:
+        mask = jnp.logical_and(
+            mask, (valid > 0).reshape((-1,) + (1,) * (mask.ndim - 1))
+        )
     mask_f = mask.astype(jnp.float32)
     n = jnp.sum(mask_f)
     safe_target = jnp.where(mask, target, 1.0)
@@ -81,10 +98,11 @@ def mtl_loss(
     gt_depth: jax.Array,
     loss_segm_weight: float = 1.0,
     loss_depth_weight: float = 1.0,
+    valid: t.Optional[jax.Array] = None,
 ) -> t.Dict[str, jax.Array]:
     """Weighted MTL objective; returns {"loss","loss_segm","loss_depth"}
     (reference lit_module.py:120-131)."""
-    loss_segm = cross_entropy_loss(segm_logits, gt_mask)
-    loss_depth = silog_loss(depth_pred, gt_depth)
+    loss_segm = cross_entropy_loss(segm_logits, gt_mask, valid=valid)
+    loss_depth = silog_loss(depth_pred, gt_depth, valid=valid)
     loss = loss_segm_weight * loss_segm + loss_depth_weight * loss_depth
     return {"loss": loss, "loss_segm": loss_segm, "loss_depth": loss_depth}

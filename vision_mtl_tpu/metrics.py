@@ -52,15 +52,17 @@ class MetricState:
 
 
 def init_metrics(num_classes: int) -> MetricState:
-    z = jnp.zeros((), jnp.float32)
+    # distinct buffers per field: a shared zeros() array would alias leaves
+    # and break buffer donation in the jitted steps
+    z = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
     return MetricState(
         confmat=jnp.zeros((num_classes, num_classes), jnp.float32),
-        mae_sum=z,
-        mae_count=z,
-        loss_sum=z,
-        loss_segm_sum=z,
-        loss_depth_sum=z,
-        num_steps=z,
+        mae_sum=z(),
+        mae_count=z(),
+        loss_sum=z(),
+        loss_segm_sum=z(),
+        loss_depth_sum=z(),
+        num_steps=z(),
     )
 
 
@@ -71,6 +73,7 @@ def update_metrics(
     depth_preds: jax.Array,
     gt_depth: jax.Array,
     losses: t.Optional[t.Dict[str, jax.Array]] = None,
+    valid: t.Optional[jax.Array] = None,
 ) -> MetricState:
     """Accumulate one batch.
 
@@ -80,23 +83,46 @@ def update_metrics(
       depth_preds: (B, H, W, 1) float depth predictions.
       gt_depth: (B, H, W, 1) float depth targets.
       losses: optional {"loss","loss_segm","loss_depth"} scalars.
+      valid: optional (B,) per-sample 0/1 weights (padded final batches) —
+        padded samples contribute nothing to any accumulator.
     """
     c = state.num_classes
+    b, h, w = gt_mask.shape[:3]
     flat_t = gt_mask.reshape(-1).astype(jnp.int32)
     flat_p = segm_preds.reshape(-1).astype(jnp.int32)
     # joint histogram over (target, pred) pairs -> (C, C) confusion matrix
     idx = flat_t * c + flat_p
-    cm = jnp.bincount(idx, length=c * c).reshape(c, c).astype(jnp.float32)
+    if valid is None:
+        weights = None
+        n_px = jnp.float32(b * h * w)
+    else:
+        vf = valid.astype(jnp.float32)
+        weights = jnp.broadcast_to(vf[:, None, None], (b, h, w)).reshape(-1)
+        n_px = jnp.sum(vf) * h * w
+    cm = (
+        jnp.bincount(idx, weights=weights, length=c * c)
+        .reshape(c, c)
+        .astype(jnp.float32)
+    )
 
     abs_err = jnp.abs(
         depth_preds.astype(jnp.float32) - gt_depth.astype(jnp.float32)
     )
+    depth_px = abs_err.size // b
+    if valid is None:
+        mae_add = jnp.sum(abs_err)
+        mae_cnt = jnp.float32(abs_err.size)
+    else:
+        vf = valid.astype(jnp.float32)
+        mae_add = jnp.sum(abs_err.reshape(b, -1) * vf[:, None])
+        mae_cnt = jnp.sum(vf) * depth_px
+    del n_px
     losses = losses or {}
     zero = jnp.zeros((), jnp.float32)
     return MetricState(
         confmat=state.confmat + cm,
-        mae_sum=state.mae_sum + jnp.sum(abs_err),
-        mae_count=state.mae_count + jnp.float32(abs_err.size),
+        mae_sum=state.mae_sum + mae_add,
+        mae_count=state.mae_count + mae_cnt,
         loss_sum=state.loss_sum + losses.get("loss", zero),
         loss_segm_sum=state.loss_segm_sum + losses.get("loss_segm", zero),
         loss_depth_sum=state.loss_depth_sum + losses.get("loss_depth", zero),

@@ -1,0 +1,98 @@
+"""Device mesh + sharding layout.
+
+The reference is strictly single-device (SURVEY.md §2 component #22); scaling
+is a first-class addition here, done the TPU way: a ``jax.sharding.Mesh`` over
+ICI with jit/GSPMD shardings instead of NCCL-style collective calls.
+
+Axes:
+  * ``data``    — batch dimension (pure data parallelism). Gradients and
+                  BatchNorm statistics become global automatically: the loss
+                  mean over a sharded batch lowers to psum/pmean collectives
+                  inserted by the SPMD partitioner.
+  * ``spatial`` — optional sharding of the image H dimension for large
+                  inputs (the dense-prediction analog of sequence
+                  parallelism, SURVEY.md §5.7). XLA inserts halo exchanges
+                  for the convolutions at shard boundaries.
+
+Mesh spec strings: ``"data:-1"`` (all devices), ``"data:4,spatial:2"``.
+"""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def parse_mesh_shape(
+    spec: str, num_devices: t.Optional[int] = None
+) -> t.Dict[str, int]:
+    """Parse "axis:size,axis:size" with at most one -1 wildcard."""
+    if num_devices is None:
+        num_devices = len(jax.devices())
+    axes: t.Dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, size = part.strip().partition(":")
+        axes[name] = int(size) if size else -1
+    wild = [k for k, v in axes.items() if v == -1]
+    if len(wild) > 1:
+        raise ValueError(f"At most one -1 in mesh spec, got {spec!r}")
+    fixed = int(np.prod([v for v in axes.values() if v != -1]))
+    if wild:
+        if num_devices % fixed:
+            raise ValueError(
+                f"Mesh spec {spec!r} does not divide {num_devices} devices"
+            )
+        axes[wild[0]] = num_devices // fixed
+    total = int(np.prod(list(axes.values())))
+    if total != num_devices:
+        raise ValueError(
+            f"Mesh spec {spec!r} uses {total} devices, have {num_devices}"
+        )
+    return axes
+
+
+def create_mesh(
+    spec: str = "data:-1", devices: t.Optional[t.Sequence[jax.Device]] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    axes = parse_mesh_shape(spec, len(devices))
+    dev_array = np.asarray(devices).reshape(tuple(axes.values()))
+    return Mesh(dev_array, tuple(axes.keys()))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _leaf_spec(ndim: int, mesh: Mesh) -> P:
+    """Batch leaves: dim0 on 'data'; dim1 (H) on 'spatial' when present."""
+    parts: t.List[t.Any] = []
+    if ndim >= 1:
+        parts.append("data" if "data" in mesh.axis_names else None)
+    if ndim >= 2:
+        parts.append(
+            "spatial"
+            if ("spatial" in mesh.axis_names and mesh.shape["spatial"] > 1 and ndim >= 3)
+            else None
+        )
+    while len(parts) < ndim:
+        parts.append(None)
+    return P(*parts)
+
+
+def batch_sharding(mesh: Mesh, batch: t.Any) -> t.Any:
+    """A pytree of NamedShardings matching ``batch``'s structure."""
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, _leaf_spec(np.ndim(x), mesh)), batch
+    )
+
+
+def put_batch(batch: t.Any, mesh: t.Optional[Mesh]) -> t.Any:
+    """Transfer a host batch to devices with the mesh layout (or plain
+    device_put without a mesh)."""
+    if mesh is None:
+        return jax.tree.map(jax.device_put, batch)
+    return jax.device_put(batch, batch_sharding(mesh, batch))

@@ -1,0 +1,79 @@
+"""Inference/eval sweep — the reference's ``predict`` entry
+(training_lit.py:186-216): iterate the predict loader, collect per-batch
+{"segm","depth"} predictions, accumulate predict-stage metrics when ground
+truth is present, optionally plot grids to the experiment tracker.
+"""
+
+from __future__ import annotations
+
+import typing as t
+
+import jax
+import numpy as np
+
+from vision_mtl_tpu.data.loader import DataLoader, prefetch_to_device
+from vision_mtl_tpu.metrics import compute_metrics, init_metrics
+from vision_mtl_tpu.train.state import TrainState
+from vision_mtl_tpu.train.step import make_predict_eval_step
+
+
+def predict(
+    predict_dataloader: DataLoader,
+    model: t.Any,
+    state: TrainState,
+    num_classes: int,
+    mesh: t.Any = None,
+    do_plot_preds: bool = False,
+    exp: t.Any = None,
+    do_show_preds: bool = False,
+    loss_segm_weight: float = 1.0,
+    loss_depth_weight: float = 1.0,
+) -> t.Tuple[t.List[t.Dict[str, np.ndarray]], t.Dict[str, float]]:
+    """Returns (list of per-batch pred dicts, predict-stage metrics)."""
+    step = make_predict_eval_step(
+        model, loss_segm_weight=loss_segm_weight, loss_depth_weight=loss_depth_weight
+    )
+    mstate = init_metrics(num_classes)
+    preds: t.List[t.Dict[str, np.ndarray]] = []
+    for batch in prefetch_to_device(predict_dataloader, mesh, size=2):
+        batch_preds, mstate, _ = step(state, batch, mstate)
+        host_preds = jax.device_get(batch_preds)
+        valid = batch.get("valid")
+        if valid is not None:
+            n_valid = int(np.sum(np.asarray(jax.device_get(valid))))
+            host_preds = {k: v[:n_valid] for k, v in host_preds.items()}
+        preds.append(host_preds)
+        if do_plot_preds:
+            try:
+                from vision_mtl_tpu.vis import plot_preds
+
+                import matplotlib.pyplot as plt
+
+                fig = plot_preds(
+                    batch_size=host_preds["segm"].shape[0],
+                    inputs_batch=jax.device_get(batch),
+                    preds_batch=host_preds,
+                )
+                if exp:
+                    exp.log_figure("preds", fig)
+                if do_show_preds:
+                    plt.show()
+                plt.close(fig)
+            except Exception as e:
+                print("plot failed:", e)
+    predict_metrics = {
+        f"predict/{k}": float(v) for k, v in compute_metrics(mstate).items()
+    }
+    return preds, predict_metrics
+
+
+def save_preds(preds: t.List[t.Dict[str, np.ndarray]], path: str) -> None:
+    """Persist concatenated predictions (.npz — the reference saves a torch
+    pickle ``preds.pt``, training_lit.py:261)."""
+    if not preds:
+        return
+    np.savez_compressed(
+        path,
+        segm=np.concatenate([p["segm"] for p in preds], axis=0),
+        depth=np.concatenate([p["depth"] for p in preds], axis=0),
+    )

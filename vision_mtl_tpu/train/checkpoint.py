@@ -1,0 +1,133 @@
+"""Checkpoint / resume — Orbax-backed, reference-compatible naming.
+
+Reproduces the reference's dual-artifact scheme (utils/pipeline_utils.py:
+139-167, 207-244): per save epoch a ``model_{epoch}`` artifact (params +
+batch_stats) and a ``session_{epoch}`` artifact (optimizer state + lr +
+scheduler + epoch); latest-epoch selection by regex on restore; CLI args
+round-tripped through ``train_args.yaml`` so any checkpoint is reproducible
+(reference :182-204). Artifacts are Orbax directories rather than ``.pt``
+files (async-save capable, multi-host safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import typing as t
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+import yaml
+
+from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
+from vision_mtl_tpu.train.state import TrainState, get_lr
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_ckpt(
+    state: TrainState,
+    scheduler: ReduceLROnPlateau,
+    epoch: int,
+    save_dir: str,
+    exp: t.Any = None,
+) -> t.Tuple[str, str]:
+    """Write model_{epoch} and session_{epoch} artifacts; log to exp if
+    given (reference save_ckpt, pipeline_utils.py:139-167)."""
+    os.makedirs(save_dir, exist_ok=True)
+    model_path = os.path.abspath(os.path.join(save_dir, f"model_{epoch}"))
+    session_path = os.path.abspath(os.path.join(save_dir, f"session_{epoch}"))
+    ckptr = _checkpointer()
+    model_tree = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    session_tree = {
+        "opt_state": jax.device_get(state.opt_state),
+        "lr": np.float32(get_lr(state)),
+        "scheduler": scheduler.state_dict(),
+        "epoch": epoch,
+        "step": int(state.step),
+    }
+    ckptr.save(model_path, model_tree, force=True)
+    ckptr.save(session_path, session_tree, force=True)
+    ckptr.wait_until_finished()
+    if exp:
+        exp.log_model("ckpt", model_path)
+        exp.log_model("ckpt", session_path)
+    print(f"Saved model to {model_path}")
+    return model_path, session_path
+
+
+def _latest_epoch(ckpt_dir: str, prefix: str) -> int:
+    pattern = re.compile(rf"{prefix}_(\d+)$")
+    epochs = [
+        int(m.group(1))
+        for f in os.listdir(ckpt_dir)
+        if (m := pattern.match(f))
+    ]
+    if not epochs:
+        raise ValueError(f"No {prefix} ckpt found in {ckpt_dir}")
+    return max(epochs)
+
+
+def load_ckpt_model(
+    ckpt_dir: str, epoch: t.Optional[int] = None
+) -> t.Dict[str, t.Any]:
+    """Load the (latest-epoch by default) model artifact
+    (reference load_ckpt_model, pipeline_utils.py:217-238)."""
+    if epoch is None:
+        epoch = _latest_epoch(ckpt_dir, "model")
+    path = os.path.abspath(os.path.join(ckpt_dir, f"model_{epoch}"))
+    print(f"Loading model from {path}")
+    return _checkpointer().restore(path)
+
+
+def load_ckpt_session(
+    ckpt_dir: str, epoch: t.Optional[int] = None
+) -> t.Dict[str, t.Any]:
+    if epoch is None:
+        epoch = _latest_epoch(ckpt_dir, "session")
+    path = os.path.abspath(os.path.join(ckpt_dir, f"session_{epoch}"))
+    return _checkpointer().restore(path)
+
+
+def restore_state(
+    state: TrainState, ckpt_dir: str, epoch: t.Optional[int] = None
+) -> TrainState:
+    """Warm-start params/batch_stats into an existing state
+    (reference init_model --ckpt_dir path, pipeline_utils.py:28-29)."""
+    restored = load_ckpt_model(ckpt_dir, epoch)
+    params = jax.tree.map(
+        lambda tgt, src: np.asarray(src, dtype=tgt.dtype),
+        jax.device_get(state.params),
+        restored["params"],
+    )
+    batch_stats = jax.tree.map(
+        lambda tgt, src: np.asarray(src, dtype=tgt.dtype),
+        jax.device_get(state.batch_stats),
+        restored["batch_stats"],
+    )
+    return state.replace(params=params, batch_stats=batch_stats)
+
+
+def log_args(
+    args: argparse.Namespace, save_path: str, exp: t.Any = None
+) -> None:
+    """Serialize CLI args to yaml (reference log_args,
+    pipeline_utils.py:182-198)."""
+    args_map = vars(args) if isinstance(args, argparse.Namespace) else args
+    with open(save_path, "w") as f:
+        yaml.dump({"args": args_map}, f, default_flow_style=False)
+    if exp:
+        exp.log_asset(save_path)
+
+
+def load_args(load_path: str) -> argparse.Namespace:
+    with open(load_path, "r") as f:
+        args = yaml.load(f, Loader=yaml.FullLoader)["args"]
+    return argparse.Namespace(**args)

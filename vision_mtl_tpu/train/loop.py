@@ -1,0 +1,204 @@
+"""Training pipeline — the reference's manual epoch loop (training_lit.py:
+37-183) rebuilt around jitted steps and device-prefetched data.
+
+Per epoch: hot loop of ``train_step`` over sharded batches (forward + loss +
+backward + Adam + metric accumulation fused in one XLA program), epoch-end
+metric finalize, periodic validation (benchmark-batch prediction plots +
+eval sweep), host-side plateau LR schedule stepped on the SUMMED val loss
+(reference :168, quirk #4), periodic dual-artifact checkpointing.
+
+Metric-name surface matches the reference: ``step/{stage}/{k}``,
+``epoch/{stage}/{k}``, epoch_metrics dict keyed ``{stage}/{k}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import typing as t
+from collections import defaultdict
+
+import jax
+
+from vision_mtl_tpu.data.datamodule import MTLDataModule
+from vision_mtl_tpu.data.loader import prefetch_to_device
+from vision_mtl_tpu.metrics import compute_metrics, init_metrics
+from vision_mtl_tpu.parallel.mesh import put_batch
+from vision_mtl_tpu.train.checkpoint import save_ckpt
+from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
+from vision_mtl_tpu.train.state import TrainState, get_lr, set_lr
+from vision_mtl_tpu.train.step import (
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+
+METRIC_KEYS = (
+    "loss",
+    "accuracy",
+    "jaccard_index",
+    "fbeta_score",
+    "mae",
+)
+
+
+def _metrics_float(mstate) -> t.Dict[str, float]:
+    return {k: float(v) for k, v in compute_metrics(mstate).items()}
+
+
+def run_pipe(
+    args: argparse.Namespace,
+    model: t.Any,
+    state: TrainState,
+    datamodule: MTLDataModule,
+    num_epochs: int,
+    num_classes: int,
+    mesh: t.Any = None,
+    exp: t.Any = None,
+    logger: t.Any = None,
+    log_every_n_steps: int = 1,
+) -> t.Tuple[TrainState, t.Dict[str, t.Dict[str, list]]]:
+    train_step = make_train_step(
+        model,
+        loss_segm_weight=args.loss_segm_weight,
+        loss_depth_weight=args.loss_depth_weight,
+        mesh=mesh,
+    )
+    eval_step = make_eval_step(
+        model,
+        loss_segm_weight=args.loss_segm_weight,
+        loss_depth_weight=args.loss_depth_weight,
+        mesh=mesh,
+    )
+    predict_step = make_predict_step(model)
+
+    scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
+
+    benchmark_batch = datamodule.benchmark_batch
+    if benchmark_batch is not None:
+        # replicated placement: the 4-sample standing batch need not divide
+        # the data axis
+        benchmark_batch = put_batch(benchmark_batch, None)
+    else:
+        print("A batch for benchmarking is not found.")
+
+    global_step = 0
+    val_step = 0
+    epoch_metrics: t.Dict[str, t.Dict[str, list]] = {
+        "train": defaultdict(list),
+        "val": defaultdict(list),
+    }
+
+    for epoch in range(num_epochs):
+        print(f"### Epoch {epoch + 1}/{num_epochs} ###")
+        # ---------------- train ----------------
+        mstate = init_metrics(num_classes)
+        for batch in prefetch_to_device(
+            datamodule.train_dataloader(), mesh, size=2
+        ):
+            state, mstate, losses = train_step(state, batch, mstate)
+            if logger is not None and global_step % log_every_n_steps == 0:
+                step_stats = {
+                    f"step/train/{k}": float(v) for k, v in losses.items()
+                }
+                logger.log_metrics(step_stats, step=global_step)
+                if exp:
+                    for k, v in step_stats.items():
+                        exp.log_metric(k, v, step=global_step)
+            global_step += 1
+
+        train_metrics = _metrics_float(mstate)
+        for k, v in train_metrics.items():
+            epoch_metrics["train"][f"train/{k}"].append(v)
+        print(
+            "epoch/train: "
+            + " ".join(f"{k}: {train_metrics[k]:.3f}" for k in METRIC_KEYS)
+        )
+        if logger is not None:
+            logger.log_metrics(
+                {f"epoch/train/{k}": v for k, v in train_metrics.items()},
+                step=epoch,
+            )
+        if exp:
+            exp.log_metrics(
+                {f"epoch/train/{k}": v for k, v in train_metrics.items()},
+                step=epoch,
+            )
+
+        # ---------------- validation ----------------
+        if (epoch + 1) % args.val_epoch_freq == 0:
+            if benchmark_batch is not None and (exp or args.do_plot_preds):
+                benchmark_preds = predict_step(state, benchmark_batch["img"])
+                try:
+                    from vision_mtl_tpu.vis import plot_preds
+
+                    fig = plot_preds(
+                        batch_size=benchmark_batch["img"].shape[0],
+                        inputs_batch=jax.device_get(benchmark_batch),
+                        preds_batch=jax.device_get(benchmark_preds),
+                    )
+                    if exp:
+                        exp.log_figure("preds", fig)
+                    if logger is not None:
+                        logger.log_figure("preds", fig, step=epoch)
+                    import matplotlib.pyplot as plt
+
+                    if args.do_show_preds:
+                        plt.show()
+                    plt.close(fig)
+                except Exception as e:
+                    print("benchmark plot failed:", e)
+
+            val_mstate = init_metrics(num_classes)
+            n_val_batches = 0
+            for batch in prefetch_to_device(
+                datamodule.val_dataloader(), mesh, size=2
+            ):
+                val_mstate, losses = eval_step(state, batch, val_mstate)
+                if logger is not None and val_step % log_every_n_steps == 0:
+                    logger.log_metrics(
+                        {
+                            f"step/val/{k}": float(v)
+                            for k, v in losses.items()
+                        },
+                        step=val_step,
+                    )
+                val_step += 1
+                n_val_batches += 1
+
+            # summed val loss drives the plateau scheduler (reference :168)
+            val_loss_sum = float(val_mstate.loss_sum)
+            val_metrics = _metrics_float(val_mstate)
+            for k, v in val_metrics.items():
+                epoch_metrics["val"][f"val/{k}"].append(v)
+            print(
+                "epoch/val: "
+                + " ".join(f"{k}: {val_metrics[k]:.3f}" for k in METRIC_KEYS)
+            )
+            if logger is not None:
+                logger.log_metrics(
+                    {f"epoch/val/{k}": v for k, v in val_metrics.items()},
+                    step=epoch,
+                )
+            if exp:
+                exp.log_metrics(
+                    {f"epoch/val/{k}": v for k, v in val_metrics.items()},
+                    step=epoch,
+                )
+
+            new_lr = scheduler.step(val_loss_sum, get_lr(state))
+            if new_lr != get_lr(state):
+                print(f"Plateau: reducing lr to {new_lr:.3e}")
+                state = set_lr(state, new_lr)
+
+        # ---------------- checkpoint ----------------
+        if (epoch + 1) % args.save_epoch_freq == 0 or epoch == num_epochs - 1:
+            if logger is not None:
+                save_ckpt(
+                    state,
+                    scheduler,
+                    epoch,
+                    save_dir=logger.log_dir,
+                    exp=exp,
+                )
+
+    return state, epoch_metrics

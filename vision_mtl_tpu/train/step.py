@@ -1,0 +1,211 @@
+"""Jitted train/eval/predict steps.
+
+The reference's per-step pipeline (zero_grad -> forward -> postprocess ->
+losses -> metrics -> backward -> step, lit_module.py:75-95 +
+training_lit.py:81-98) collapses here into ONE compiled function
+``train_step(state, batch, metrics) -> (state, metrics, losses)``: forward,
+loss, backward, Adam update, sigmoid/argmax postprocess and streaming metric
+accumulation all fuse into a single XLA program — no host round-trips inside
+the hot loop.
+
+Sharding: steps are jit-compiled against a Mesh with the batch sharded on
+("data"[, "spatial"]) and state replicated; the SPMD partitioner inserts the
+gradient/BN psum collectives over ICI. Optional per-sample ``valid`` weights
+support padded final eval batches without recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as t
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_mtl_tpu.losses import mtl_loss
+from vision_mtl_tpu.metrics import MetricState, update_metrics
+from vision_mtl_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from vision_mtl_tpu.train.state import TrainState
+
+Batch = t.Dict[str, jax.Array]
+
+
+def postprocess_raw_out(out: t.Dict[str, jax.Array]) -> t.Dict[str, jax.Array]:
+    """softmax/argmax for segm, sigmoid for depth (reference
+    lit_module.py:133-144; NHWC makes the reference's permute a no-op)."""
+    segm_logits = out["segm"]
+    return {
+        "segm_logits": segm_logits,
+        "segm_predictions": jnp.argmax(segm_logits, axis=-1).astype(jnp.int32),
+        "depth_predictions": jax.nn.sigmoid(out["depth"].astype(jnp.float32)),
+    }
+
+
+def _forward_and_losses(
+    model: nn.Module,
+    params: t.Any,
+    batch_stats: t.Any,
+    batch: Batch,
+    train: bool,
+    loss_segm_weight: float,
+    loss_depth_weight: float,
+):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mutated = model.apply(
+            variables, batch["img"], train=True, mutable=["batch_stats"]
+        )
+        new_stats = mutated["batch_stats"]
+    else:
+        out = model.apply(variables, batch["img"], train=False)
+        new_stats = batch_stats
+    post = postprocess_raw_out(out)
+    losses = mtl_loss(
+        post["segm_logits"],
+        post["depth_predictions"],
+        batch["mask"],
+        batch["depth"],
+        loss_segm_weight,
+        loss_depth_weight,
+        valid=batch.get("valid"),
+    )
+    return losses, post, new_stats
+
+
+def make_train_step(
+    model: nn.Module,
+    loss_segm_weight: float = 1.0,
+    loss_depth_weight: float = 1.0,
+    mesh=None,
+    donate: bool = True,
+):
+    def step(
+        state: TrainState, batch: Batch, mstate: MetricState
+    ) -> t.Tuple[TrainState, MetricState, t.Dict[str, jax.Array]]:
+        def loss_fn(params):
+            losses, post, new_stats = _forward_and_losses(
+                model,
+                params,
+                state.batch_stats,
+                batch,
+                True,
+                loss_segm_weight,
+                loss_depth_weight,
+            )
+            return losses["loss"], (losses, post, new_stats)
+
+        grads, (losses, post, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        mstate = update_metrics(
+            mstate,
+            post["segm_predictions"],
+            batch["mask"],
+            post["depth_predictions"],
+            batch["depth"],
+            losses,
+            valid=batch.get("valid"),
+        )
+        return new_state, mstate, losses
+
+    return _jit_step(step, mesh, donate)
+
+
+def make_eval_step(
+    model: nn.Module,
+    loss_segm_weight: float = 1.0,
+    loss_depth_weight: float = 1.0,
+    mesh=None,
+):
+    def step(
+        state: TrainState, batch: Batch, mstate: MetricState
+    ) -> t.Tuple[MetricState, t.Dict[str, jax.Array]]:
+        losses, post, _ = _forward_and_losses(
+            model,
+            state.params,
+            state.batch_stats,
+            batch,
+            False,
+            loss_segm_weight,
+            loss_depth_weight,
+        )
+        mstate = update_metrics(
+            mstate,
+            post["segm_predictions"],
+            batch["mask"],
+            post["depth_predictions"],
+            batch["depth"],
+            losses,
+            valid=batch.get("valid"),
+        )
+        return mstate, losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(2,))
+    return jax.jit(step, donate_argnums=(2,))
+
+
+def make_predict_step(model: nn.Module, mesh=None):
+    """Returns {"segm": argmax ids, "depth": sigmoid depths}
+    (reference lit_module.py:155-169)."""
+
+    def step(state: TrainState, img: jax.Array) -> t.Dict[str, jax.Array]:
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            img,
+            train=False,
+        )
+        post = postprocess_raw_out(out)
+        return {
+            "segm": post["segm_predictions"],
+            "depth": post["depth_predictions"],
+        }
+
+    return jax.jit(step)
+
+
+def make_predict_eval_step(
+    model: nn.Module,
+    loss_segm_weight: float = 1.0,
+    loss_depth_weight: float = 1.0,
+):
+    """Single compiled pass returning preds AND accumulating predict-stage
+    metrics when ground truth is present (reference predict_step,
+    lit_module.py:155-169)."""
+
+    def step(
+        state: TrainState, batch: Batch, mstate: MetricState
+    ) -> t.Tuple[t.Dict[str, jax.Array], MetricState, t.Dict[str, jax.Array]]:
+        losses, post, _ = _forward_and_losses(
+            model,
+            state.params,
+            state.batch_stats,
+            batch,
+            False,
+            loss_segm_weight,
+            loss_depth_weight,
+        )
+        mstate = update_metrics(
+            mstate,
+            post["segm_predictions"],
+            batch["mask"],
+            post["depth_predictions"],
+            batch["depth"],
+            losses,
+            valid=batch.get("valid"),
+        )
+        preds = {
+            "segm": post["segm_predictions"],
+            "depth": post["depth_predictions"],
+        }
+        return preds, mstate, losses
+
+    return jax.jit(step, donate_argnums=(2,))
+
+
+def _jit_step(step, mesh, donate):
+    if donate:
+        return jax.jit(step, donate_argnums=(0, 2))
+    return jax.jit(step)

@@ -1,0 +1,90 @@
+"""Training CLI — the reference's primary entry (training_lit.py:219-274):
+parse args -> configs -> components -> optional hyperparameter sweep ->
+train (run_pipe) -> predict sweep -> persist predictions + final metrics.
+
+Run:  python -m vision_mtl_tpu.training --dataset_name cityscapes \
+          --model_name mtan --num_epochs 20 --batch_size 8 --lr 5e-4
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from vision_mtl_tpu.cfg import cfg, fetch_data_cfg
+from vision_mtl_tpu.parallel.mesh import create_mesh
+from vision_mtl_tpu.pipeline import create_main_components, create_tools
+from vision_mtl_tpu.predict import predict, save_preds
+from vision_mtl_tpu.train.loop import run_pipe
+from vision_mtl_tpu.utils.args import parse_args, update_args
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg.update_fields_with_args(args)
+
+    data_cfg = fetch_data_cfg(args.dataset_name)
+
+    mesh = create_mesh(args.mesh_shape) if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+
+    if args.do_optimize:
+        from vision_mtl_tpu.tuning import run_study
+
+        optimal_params = run_study(args, data_cfg, mesh=mesh)
+        update_args(args, optimal_params)
+        args.exp_tags = list(args.exp_tags) + ["best_trial"]
+
+    tools = create_tools(args)
+    exp = tools["exp"]
+    logger = tools["logger"]
+
+    components = create_main_components(args, data_cfg)
+    datamodule = components["datamodule"]
+    model = components["model"]
+    state = components["state"]
+
+    state, _ = run_pipe(
+        args,
+        model,
+        state,
+        datamodule,
+        num_epochs=args.num_epochs,
+        num_classes=data_cfg.num_classes,
+        mesh=mesh,
+        exp=exp,
+        logger=logger,
+    )
+
+    preds, predict_metrics = predict(
+        datamodule.predict_dataloader(),
+        model,
+        state,
+        num_classes=data_cfg.num_classes,
+        mesh=mesh,
+        do_plot_preds=args.do_plot_preds,
+        exp=exp,
+        do_show_preds=args.do_show_preds,
+        loss_segm_weight=args.loss_segm_weight,
+        loss_depth_weight=args.loss_depth_weight,
+    )
+    save_preds(preds, os.path.join(logger.log_dir, "preds.npz"))
+
+    print(
+        "predict: "
+        + " ".join(f"{k}: {v:.3f}" for k, v in predict_metrics.items())
+    )
+    logger.log_metrics(predict_metrics, step=args.num_epochs)
+    if exp:
+        exp.log_metrics(
+            {f"epoch/{k}": v for k, v in predict_metrics.items()},
+            step=args.num_epochs,
+        )
+        exp.end()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

