@@ -1,0 +1,113 @@
+"""Model evaluation harness — replaces the reference's
+``notebooks/get_model_metrics.ipynb`` (the producer of the README results
+tables): load trained checkpoints for any set of models, run the predict
+sweep over the holdout loader, and emit a rounded metrics table (CSV +
+stdout).
+
+Usage:
+    python -m vision_mtl_tpu.eval_harness --dataset_name cityscapes \
+        --runs basic=/path/to/ckpt_dir mtan=/path/to/ckpt_dir2 \
+        [--out metrics.csv]
+
+Each ``--runs`` entry is ``{model_name}[:tag]={ckpt_dir}``; the ckpt_dir is
+the run directory containing ``model_{epoch}`` artifacts (latest epoch is
+selected, like the reference's regex pick, pipeline_utils.py:217-238).
+"""
+
+from __future__ import annotations
+
+import argparse
+import typing as t
+
+import pandas as pd
+
+from vision_mtl_tpu.cfg import fetch_data_cfg
+from vision_mtl_tpu.data.datamodule import MTLDataModule
+from vision_mtl_tpu.pipeline import compute_dtype, init_model
+from vision_mtl_tpu.predict import predict
+from vision_mtl_tpu.train.checkpoint import restore_state
+
+METRIC_ORDER = ["loss", "accuracy", "jaccard_index", "fbeta_score", "mae"]
+
+
+def evaluate_run(
+    model_name: str,
+    ckpt_dir: str,
+    dataset_name: str,
+    batch_size: int = 8,
+    loss_segm_weight: float = 1.0,
+    loss_depth_weight: float = 1.0,
+    channel_wise_stitching: bool = True,
+    precision: str = "bf16",
+) -> t.Dict[str, float]:
+    data_cfg = fetch_data_cfg(dataset_name)
+    args = argparse.Namespace(
+        model_name=model_name,
+        dataset_name=dataset_name,
+        batch_size=batch_size,
+        lr=1e-3,
+        ckpt_dir=None,
+        channel_wise_stitching=channel_wise_stitching,
+        precision=precision,
+        seed=11,
+    )
+    model, state = init_model(args, data_cfg)
+    state = restore_state(state, ckpt_dir)
+    dm = MTLDataModule(
+        dataset_name,
+        batch_size=batch_size,
+        train_transform=data_cfg.train_transform,
+        test_transform=data_cfg.test_transform,
+    )
+    dm.setup(stage="predict")
+    _, metrics = predict(
+        dm.predict_dataloader(),
+        model,
+        state,
+        num_classes=data_cfg.num_classes,
+        loss_segm_weight=loss_segm_weight,
+        loss_depth_weight=loss_depth_weight,
+    )
+    return {k.replace("predict/", ""): v for k, v in metrics.items()}
+
+
+def build_table(results: t.Dict[str, t.Dict[str, float]]) -> pd.DataFrame:
+    """Rows = metrics, columns = model tags (reference notebook's table
+    orientation, rounded to 3 decimals)."""
+    df = pd.DataFrame(results)
+    df = df.reindex(METRIC_ORDER)
+    return df.round(3)
+
+
+def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_name", default="cityscapes")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument(
+        "--runs",
+        nargs="+",
+        required=True,
+        help="entries like model_name[:tag]=ckpt_dir",
+    )
+    p.add_argument("--out", default=None, help="CSV output path")
+    args = p.parse_args(argv)
+
+    results: t.Dict[str, t.Dict[str, float]] = {}
+    for entry in args.runs:
+        spec, _, ckpt_dir = entry.partition("=")
+        model_name, _, tag = spec.partition(":")
+        tag = tag or model_name
+        print(f"Evaluating {tag} ({model_name}) from {ckpt_dir} ...")
+        results[tag] = evaluate_run(
+            model_name, ckpt_dir, args.dataset_name, args.batch_size
+        )
+
+    df = build_table(results)
+    print(df.to_string())
+    if args.out:
+        df.to_csv(args.out)
+        print(f"Wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,15 @@ def init_model(
         sample_img,
         lr=args.lr,
     )
+    if getattr(args, "backbone_weights", None) == "imagenet":
+        from vision_mtl_tpu.utils.torch_port import apply_imagenet_backbone
+
+        params, batch_stats, _ = apply_imagenet_backbone(
+            jax.device_get(state.params),
+            jax.device_get(state.batch_stats),
+            args.model_name,
+        )
+        state = state.replace(params=params, batch_stats=batch_stats)
     if getattr(args, "ckpt_dir", None):
         state = restore_state(state, args.ckpt_dir)
     return model, state
