@@ -89,14 +89,17 @@ def main() -> None:
     step = make_train_step(model, donate=False)
     mstate = init_metrics(num_classes)
 
+    # NOTE: sync via a scalar fetch from the end of the dependency chain —
+    # on the remote-attached TPU backend block_until_ready can return before
+    # execution finishes, which silently turns timings into dispatch rates.
     for i in range(warmup):
         state, mstate, losses = step(state, pool[i % 2], mstate)
-    jax.block_until_ready(state.params)
+    float(losses["loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, mstate, losses = step(state, pool[i % 2], mstate)
-    jax.block_until_ready(state.params)
+    float(losses["loss"])  # losses chain through state/mstate -> full sync
     dt = time.perf_counter() - t0
 
     imgs_per_sec = bs * steps / dt

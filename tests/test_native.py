@@ -1,0 +1,89 @@
+"""Native C++ fastload: npy parse + batched decode/resize vs numpy/Python."""
+
+import numpy as np
+import pytest
+
+from vision_mtl_tpu.data import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native lib not built"
+)
+
+
+def test_read_npy_roundtrip(tmp_path, rng):
+    for dtype in (np.float32, np.float64, np.int64, np.uint8):
+        arr = (rng.uniform(0, 100, size=(7, 9, 3))).astype(dtype)
+        p = tmp_path / f"a_{np.dtype(dtype).name}.npy"
+        np.save(p, arr)
+        got = native.read_npy(str(p))
+        np.testing.assert_allclose(got, arr.astype(np.float32), rtol=1e-6)
+
+
+def test_load_cityscapes_batch(tmp_path, rng):
+    b, h, w = 3, 32, 48
+    oh, ow = 16, 24
+    img_paths, mask_paths, depth_paths = [], [], []
+    imgs, masks, depths = [], [], []
+    for i in range(b):
+        img = rng.uniform(0, 1, size=(h, w, 3)).astype(np.float32)
+        mask = rng.integers(-1, 19, size=(h, w)).astype(np.int64)
+        depth = rng.uniform(0, 1, size=(h, w)).astype(np.float32)
+        for name, arr, acc in (
+            ("img", img, img_paths),
+            ("mask", mask, mask_paths),
+            ("depth", depth, depth_paths),
+        ):
+            p = tmp_path / f"{name}_{i}.npy"
+            np.save(p, arr)
+            acc.append(str(p))
+        imgs.append(img)
+        masks.append(mask)
+        depths.append(depth)
+
+    batch = native.load_cityscapes_batch(
+        img_paths, mask_paths, depth_paths, oh, ow, num_threads=2
+    )
+    assert batch["img"].shape == (b, oh, ow, 3)
+    assert batch["mask"].shape == (b, oh, ow)
+    assert batch["depth"].shape == (b, oh, ow, 1)
+    assert batch["mask"].dtype == np.int32
+
+    # nearest-resize mask must contain only remapped values (no -1)
+    assert batch["mask"].min() >= 0
+    assert batch["mask"].max() <= 18
+    # -1 got remapped to 18 at the right positions: nearest of (2y, 2x)
+    ref_mask = masks[0][::2, ::2].copy()
+    ref_mask[ref_mask == -1] = 18
+    np.testing.assert_array_equal(batch["mask"][0], ref_mask)
+    # depth nearest + identity scale
+    np.testing.assert_allclose(
+        batch["depth"][0, ..., 0], depths[0][::2, ::2], rtol=1e-6
+    )
+
+
+def test_identity_resize_exact(tmp_path, rng):
+    h, w = 8, 10
+    img = rng.uniform(size=(h, w, 3)).astype(np.float32)
+    mask = rng.integers(0, 5, size=(h, w)).astype(np.int64)
+    depth = rng.uniform(size=(h, w)).astype(np.float32)
+    paths = {}
+    for name, arr in (("img", img), ("mask", mask), ("depth", depth)):
+        p = tmp_path / f"{name}.npy"
+        np.save(p, arr)
+        paths[name] = str(p)
+    batch = native.load_cityscapes_batch(
+        [paths["img"]], [paths["mask"]], [paths["depth"]], h, w
+    )
+    np.testing.assert_allclose(batch["img"][0], img, rtol=1e-6)
+    np.testing.assert_array_equal(batch["mask"][0], mask)
+
+
+def test_missing_file_reports_index(tmp_path, rng):
+    img = rng.uniform(size=(4, 4, 3)).astype(np.float32)
+    p = tmp_path / "img.npy"
+    np.save(p, img)
+    with pytest.raises(RuntimeError, match="sample 0"):
+        native.load_cityscapes_batch(
+            ["/nonexistent.npy"], [str(p)], [str(p)], 4, 4
+        )

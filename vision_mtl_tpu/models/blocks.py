@@ -78,10 +78,14 @@ class Conv(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm matching torch defaults, computed in f32.
+    """BatchNorm matching torch defaults.
 
-    Under jit over a sharded batch the mean/var reductions become global
-    collectives automatically (GSPMD), giving cross-replica-synced BN for free.
+    I/O stays in the input dtype (bf16 on the fast path — the train step is
+    HBM-bandwidth bound, and f32 BN outputs would double activation traffic);
+    mean/var reductions and params are float32 (flax upcasts statistics
+    internally). Under jit over a sharded batch the reductions become global
+    collectives automatically (GSPMD), giving cross-replica-synced BN for
+    free.
     """
 
     use_running_average: bool
@@ -94,9 +98,9 @@ class BatchNorm(nn.Module):
             use_running_average=self.use_running_average,
             momentum=self.momentum,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
+            dtype=x.dtype,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        )(x)
 
 
 def hard_sigmoid(x: jax.Array) -> jax.Array:

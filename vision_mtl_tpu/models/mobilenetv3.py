@@ -152,15 +152,15 @@ class MobileNetV3Encoder(nn.Module):
             CONV_HEAD_CH, (1, 1), use_bias=False, dtype=self.dtype
         )
         self._stem_bn = nn.BatchNorm(
-            momentum=0.9, epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
         )
         self._head_bn = nn.BatchNorm(
-            momentum=0.9, epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
         )
 
     def run_stem(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = self.conv_stem(x)
-        h = self._stem_bn(h.astype(jnp.float32), use_running_average=not train)
+        h = self._stem_bn(h, use_running_average=not train)
         return ACTIVATIONS["hardswish"](h)
 
     def run_stage(self, i: int, x: jax.Array, train: bool = False) -> jax.Array:
@@ -170,7 +170,7 @@ class MobileNetV3Encoder(nn.Module):
 
     def run_head(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = self.conv_head(x)
-        h = self._head_bn(h.astype(jnp.float32), use_running_average=not train)
+        h = self._head_bn(h, use_running_average=not train)
         return ACTIVATIONS["hardswish"](h)
 
     def __call__(

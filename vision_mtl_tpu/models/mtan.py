@@ -67,8 +67,8 @@ class AttentionModuleEncoder(nn.Module):
         h = Conv(self.shared_2_channels, (1, 1), dtype=self.dtype)(h)
         h = BatchNorm(use_running_average=not train)(h)
         attn = nn.sigmoid(h)
-        g = conv2_shared.astype(jnp.float32) * attn
-        g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g.astype(self.dtype))
+        g = conv2_shared * attn.astype(conv2_shared.dtype)
+        g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g)
         g = BatchNorm(use_running_average=not train)(g)
         g = nn.relu(g)
         return max_pool_2x(g)
@@ -109,8 +109,8 @@ class AttentionModuleDecoder(nn.Module):
         h = Conv(self.shared_2_channels, (1, 1), dtype=self.dtype)(h)
         h = BatchNorm(use_running_average=not train)(h)
         attn = nn.sigmoid(h)
-        g = conv2_shared.astype(jnp.float32) * attn
-        g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g.astype(self.dtype))
+        g = conv2_shared * attn.astype(conv2_shared.dtype)
+        g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g)
         g = BatchNorm(use_running_average=not train)(g)
         return nn.relu(g)
 
