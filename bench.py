@@ -50,7 +50,7 @@ def main() -> None:
     if args.batch_size:
         bs = args.batch_size
     else:
-        bs = 32 if on_tpu else 4
+        bs = 128 if on_tpu else 4
     steps = args.steps or (5 if args.quick else 30)
     warmup = 2 if args.quick else 5
 

@@ -40,9 +40,13 @@ def cross_entropy_loss(
         mean is taken over valid samples only, so a padded final eval batch
         reproduces the reference's smaller-last-batch mean exactly.
     """
+    # logsumexp - gathered logit: avoids materializing the full (B,H,W,C)
+    # log-softmax tensor (multi-GB of HBM traffic at scale); per-element
+    # math is f32 regardless of (possibly bf16) logit storage
     logits = logits.astype(jnp.float32)
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    nll = lse - picked
     if valid is None:
         return jnp.mean(nll)
     w = valid.astype(jnp.float32)[:, None, None]

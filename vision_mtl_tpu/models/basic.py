@@ -70,4 +70,6 @@ class BasicMTLModel(nn.Module):
         depth = SegmentationHead(1, dtype=self.dtype, name="depth_head")(
             decoder_output
         )
-        return {"segm": segm.astype(jnp.float32), "depth": depth.astype(jnp.float32)}
+        # outputs stay in the compute dtype; losses/postprocess upcast
+        # per-element (f32 storage here would double logit HBM traffic)
+        return {"segm": segm, "depth": depth}

@@ -193,5 +193,5 @@ class CSNet(nn.Module):
 
         out: t.Dict[str, jax.Array] = {}
         for ti, name in enumerate(self.task_names):
-            out[name] = self.heads[ti](feats[ti]).astype(jnp.float32)
+            out[name] = self.heads[ti](feats[ti])
         return out

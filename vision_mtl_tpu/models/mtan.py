@@ -207,5 +207,5 @@ class MTANMiniUnet(nn.Module):
                 (1, 1),
                 dtype=self.dtype,
                 name=f"head_{task_name}",
-            )(task_streams[ti]).astype(jnp.float32)
+            )(task_streams[ti])
         return out

@@ -1,0 +1,107 @@
+"""Comet artifact download side — trained-run registry + checkpoint/args
+retrieval (reference utils/comet_utils.py:9-130). Used by the eval harness
+to pull trained models by run name. Requires comet_ml + credentials; every
+entry point raises a clear error otherwise (zero-egress container).
+
+The run-name registry maps our framework's trained runs; it starts empty and
+is filled as runs are published (the reference ships its 10 torch run names,
+which are not loadable into this framework).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import typing as t
+
+from vision_mtl_tpu.cfg import cfg
+
+# model key -> dataset -> comet experiment name (reference
+# comet_utils.py:9-30; empty until runs of THIS framework are published)
+model_to_exp_name: t.Dict[str, t.Dict[str, str]] = {}
+
+
+def _api():
+    try:
+        from comet_ml.api import API
+    except ImportError as e:
+        raise RuntimeError(
+            "comet_ml is not installed; artifact download unavailable"
+        ) from e
+    if cfg.logger.api_key is None:
+        raise RuntimeError("comet credentials missing (.env)")
+    return API(api_key=cfg.logger.api_key)
+
+
+def get_latest_ckpt_epoch(
+    exp_name: str,
+    model_name_regex: str = r"model_(\d+)",
+    project_name: t.Optional[str] = None,
+    api: t.Any = None,
+) -> int:
+    """Latest checkpoint epoch advertised by an experiment's assets
+    (reference comet_utils.py:33-47)."""
+    api = api or _api()
+    project_name = project_name or cfg.logger.project_name
+    exp_api = api.get(f"{cfg.logger.username}/{project_name}/{exp_name}")
+    epochs = [
+        int(m.group(1))
+        for x in exp_api.get_asset_list(asset_type="all")
+        if (m := re.match(model_name_regex, x["fileName"]))
+    ]
+    if not epochs:
+        raise ValueError(f"No checkpoints found in {exp_name}")
+    return max(epochs)
+
+
+def load_artifacts_from_comet(
+    exp_name: str,
+    local_artifacts_dir: str,
+    model_artifact_name: str = "model",
+    args_name_no_ext: str = "train_args",
+    session_artifact_name: t.Optional[str] = None,
+    project_name: t.Optional[str] = None,
+    api: t.Any = None,
+    epoch: t.Optional[int] = None,
+) -> t.Dict[str, t.Optional[str]]:
+    """Download model/args/session artifacts for an experiment into
+    local_artifacts_dir (reference comet_utils.py:50-130). Returns local
+    paths {"checkpoint_path", "args_path"[, "session_path"]}."""
+    api = api or _api()
+    project_name = project_name or cfg.logger.project_name
+    exp_api = api.get(f"{cfg.logger.username}/{project_name}/{exp_name}")
+    os.makedirs(local_artifacts_dir, exist_ok=True)
+    assets = exp_api.get_asset_list(asset_type="all")
+
+    def fetch(match: str, dst: str) -> t.Optional[str]:
+        if os.path.exists(dst):
+            return dst
+        hits = [x for x in assets if match in x["fileName"]]
+        if not hits:
+            print(f"No asset found matching {match}")
+            return None
+        api.download_experiment_asset(exp_api.id, hits[0]["assetId"], dst)
+        return dst
+
+    args_path = fetch(
+        args_name_no_ext,
+        os.path.join(local_artifacts_dir, f"{args_name_no_ext}.yaml"),
+    )
+    if epoch is None:
+        epoch = get_latest_ckpt_epoch(
+            exp_name, project_name=project_name, api=api
+        )
+    ckpt_path = fetch(
+        f"{model_artifact_name}_{epoch}",
+        os.path.join(local_artifacts_dir, f"{model_artifact_name}_{epoch}"),
+    )
+    results: t.Dict[str, t.Optional[str]] = {
+        "checkpoint_path": ckpt_path,
+        "args_path": args_path,
+    }
+    if session_artifact_name is not None:
+        results["session_path"] = fetch(
+            session_artifact_name,
+            os.path.join(local_artifacts_dir, session_artifact_name),
+        )
+    return results
