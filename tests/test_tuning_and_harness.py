@@ -1,0 +1,67 @@
+"""Hyperparameter sweep (built-in sampler path) and eval-harness table."""
+
+import argparse
+
+import numpy as np
+import pytest
+
+import vision_mtl_tpu.tuning as tuning
+from vision_mtl_tpu.cfg import fetch_data_cfg
+from vision_mtl_tpu.eval_harness import build_table
+
+
+def test_run_study_fallback_picks_best(monkeypatch):
+    calls = []
+
+    def fake_trial(args, data_cfg, weights, mesh, tag):
+        calls.append((dict(weights), tag))
+        # score peaks when segm weight is high and depth weight low
+        return weights["loss_segm_weight"] - weights["loss_depth_weight"]
+
+    monkeypatch.setattr(tuning, "_run_trial", fake_trial)
+    # force the fallback sampler even if optuna is importable
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_optuna(name, *a, **k):
+        if name == "optuna":
+            raise ImportError
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_optuna)
+
+    args = argparse.Namespace(
+        n_trials=5, n_jobs=1, num_epochs=10, seed=11,
+        loss_segm_weight=1.0, loss_depth_weight=1.0,
+    )
+    best = tuning.run_study(args, fetch_data_cfg("synthetic"))
+    assert set(best) == {"loss_segm_weight", "loss_depth_weight"}
+    assert len(calls) == 5
+    # trials ran with the forced 3-epoch budget, original args untouched
+    assert args.num_epochs == 10
+    scores = [w["loss_segm_weight"] - w["loss_depth_weight"] for w, _ in calls]
+    best_score = best["loss_segm_weight"] - best["loss_depth_weight"]
+    assert best_score == pytest.approx(max(scores))
+
+
+def test_build_table_shape_and_rounding():
+    results = {
+        "HS": {
+            "loss": 4.5371, "accuracy": 0.80549, "jaccard_index": 0.2789,
+            "fbeta_score": 0.7951, "mae": 0.04312,
+            "loss_segm": 1.0, "loss_depth": 3.5,
+        },
+        "MTAN": {
+            "loss": 3.633, "accuracy": 0.860, "jaccard_index": 0.385,
+            "fbeta_score": 0.856, "mae": 0.060,
+            "loss_segm": 1.0, "loss_depth": 2.6,
+        },
+    }
+    df = build_table(results)
+    assert list(df.columns) == ["HS", "MTAN"]
+    assert list(df.index) == [
+        "loss", "accuracy", "jaccard_index", "fbeta_score", "mae"
+    ]
+    assert df.loc["accuracy", "HS"] == pytest.approx(0.805)
+    assert np.all(df.values == np.round(df.values, 3))

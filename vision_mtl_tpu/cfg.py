@@ -111,6 +111,11 @@ class DataConfig:
     train_transform: t.Optional[ResizeSpec] = None
     test_transform: t.Optional[ResizeSpec] = None
 
+    # host->device wire format: "f32" (exact) or "compact" (uint8 images /
+    # uint16 depth, decoded on device — 4x fewer H2D bytes; see
+    # data/loader.compress_batch for the quantization bounds)
+    wire_format: str = "f32"
+
 
 def _cityscapes_class_names() -> t.List[str]:
     # reference cfg.py:72-93 — 19 classes + trailing "artifact" entry that
@@ -139,6 +144,7 @@ class CityscapesConfig(DataConfig):
 
     batch_size: int = 8
     num_workers: int = 4
+    wire_format: str = "compact"
 
     norm_mean: t.Tuple[float, float, float] = (0.485, 0.456, 0.406)
     norm_std: t.Tuple[float, float, float] = (0.229, 0.224, 0.225)

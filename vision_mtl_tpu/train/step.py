@@ -31,6 +31,19 @@ from vision_mtl_tpu.train.state import TrainState
 Batch = t.Dict[str, jax.Array]
 
 
+def decode_batch(batch: Batch) -> Batch:
+    """Device-side decode of the compact wire format (see
+    data/loader.compress_batch): fused into the step, effectively free."""
+    out = dict(batch)
+    if batch["img"].dtype == jnp.uint8:
+        out["img"] = batch["img"].astype(jnp.float32) / 255.0
+    if batch["depth"].dtype == jnp.uint16:
+        out["depth"] = batch["depth"].astype(jnp.float32) / 65535.0
+    if batch["mask"].dtype != jnp.int32:
+        out["mask"] = batch["mask"].astype(jnp.int32)
+    return out
+
+
 def postprocess_raw_out(out: t.Dict[str, jax.Array]) -> t.Dict[str, jax.Array]:
     """softmax/argmax for segm, sigmoid for depth (reference
     lit_module.py:133-144; NHWC makes the reference's permute a no-op)."""
@@ -83,6 +96,8 @@ def make_train_step(
     def step(
         state: TrainState, batch: Batch, mstate: MetricState
     ) -> t.Tuple[TrainState, MetricState, t.Dict[str, jax.Array]]:
+        batch = decode_batch(batch)
+
         def loss_fn(params):
             losses, post, new_stats = _forward_and_losses(
                 model,
@@ -122,6 +137,7 @@ def make_eval_step(
     def step(
         state: TrainState, batch: Batch, mstate: MetricState
     ) -> t.Tuple[MetricState, t.Dict[str, jax.Array]]:
+        batch = decode_batch(batch)
         losses, post, _ = _forward_and_losses(
             model,
             state.params,
@@ -152,6 +168,8 @@ def make_predict_step(model: nn.Module, mesh=None):
     (reference lit_module.py:155-169)."""
 
     def step(state: TrainState, img: jax.Array) -> t.Dict[str, jax.Array]:
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             img,
@@ -178,6 +196,7 @@ def make_predict_eval_step(
     def step(
         state: TrainState, batch: Batch, mstate: MetricState
     ) -> t.Tuple[t.Dict[str, jax.Array], MetricState, t.Dict[str, jax.Array]]:
+        batch = decode_batch(batch)
         losses, post, _ = _forward_and_losses(
             model,
             state.params,

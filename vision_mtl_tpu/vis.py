@@ -23,6 +23,22 @@ def _np(x: t.Any) -> np.ndarray:
     return np.asarray(x)
 
 
+def _img(x: t.Any) -> np.ndarray:
+    """Image to float [0,1], decoding the compact wire format (uint8)."""
+    arr = np.asarray(x)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return np.clip(arr, 0, 1)
+
+
+def _depth(x: t.Any) -> np.ndarray:
+    """Depth to float, decoding the compact wire format (uint16)."""
+    arr = np.asarray(x)
+    if arr.dtype == np.uint16:
+        arr = arr.astype(np.float32) / 65535.0
+    return arr
+
+
 def colorize_mask(mask: np.ndarray, palette: t.Optional[np.ndarray] = None) -> np.ndarray:
     """(H,W) ids -> (H,W,3) uint8 using the config palette."""
     if palette is None:
@@ -37,11 +53,11 @@ def plot_sample(
 ) -> plt.Figure:
     """1x3 grid: image / mask / depth (reference plot_sample)."""
     fig, axs = plt.subplots(1, 3, figsize=(12, 4))
-    axs[0].imshow(np.clip(_np(img), 0, 1))
+    axs[0].imshow(_img(img))
     axs[0].set_title("img")
     axs[1].imshow(colorize_mask(mask))
     axs[1].set_title("mask")
-    axs[2].imshow(_np(depth).squeeze(), cmap="viridis")
+    axs[2].imshow(_depth(depth).squeeze(), cmap="viridis")
     axs[2].set_title("depth")
     for ax in axs:
         ax.axis("off")
@@ -55,9 +71,9 @@ def plot_batch(batch: t.Dict[str, np.ndarray], max_rows: int = 4) -> plt.Figure:
     n = min(len(imgs), max_rows)
     fig, axs = plt.subplots(n, 3, figsize=(12, 4 * n), squeeze=False)
     for i in range(n):
-        axs[i][0].imshow(np.clip(_np(imgs[i]), 0, 1))
+        axs[i][0].imshow(_img(imgs[i]))
         axs[i][1].imshow(colorize_mask(masks[i]))
-        axs[i][2].imshow(_np(depths[i]).squeeze(), cmap="viridis")
+        axs[i][2].imshow(_depth(depths[i]).squeeze(), cmap="viridis")
         for ax in axs[i]:
             ax.axis("off")
     fig.tight_layout()
@@ -76,7 +92,7 @@ def plot_annotated_segm_mask(
 
     mask = _np(mask).astype(np.int64)
     fig, ax = plt.subplots(figsize=(8, 5))
-    ax.imshow(np.clip(_np(img), 0, 1))
+    ax.imshow(_img(img))
     ax.imshow(colorize_mask(mask), alpha=alpha)
     present = np.unique(mask)
     palette = cfg.vis.rgb_palette
@@ -101,17 +117,17 @@ def plot_preds(
     """B x 5 grid: RGB / GT depth / pred depth / GT mask / pred mask —
     the grid logged every val epoch and during predict
     (reference vis_utils.py:105-157)."""
-    imgs = _np(inputs_batch["img"])
-    gt_depth = _np(inputs_batch.get("depth")) if "depth" in inputs_batch else None
-    gt_mask = _np(inputs_batch.get("mask")) if "mask" in inputs_batch else None
-    pred_depth = _np(preds_batch["depth"])
+    imgs = _img(inputs_batch["img"])
+    gt_depth = _depth(inputs_batch["depth"]) if "depth" in inputs_batch else None
+    gt_mask = _np(inputs_batch["mask"]) if "mask" in inputs_batch else None
+    pred_depth = _depth(preds_batch["depth"])
     pred_mask = _np(preds_batch["segm"])
 
     n = min(batch_size, len(imgs), len(pred_mask))
     fig, axs = plt.subplots(n, 5, figsize=(18, 3 * n), squeeze=False)
     titles = ["img", "gt depth", "pred depth", "gt mask", "pred mask"]
     for i in range(n):
-        axs[i][0].imshow(np.clip(imgs[i], 0, 1))
+        axs[i][0].imshow(imgs[i])
         if gt_depth is not None:
             axs[i][1].imshow(gt_depth[i].squeeze(), cmap="viridis")
         axs[i][2].imshow(pred_depth[i].squeeze(), cmap="viridis")
