@@ -92,8 +92,11 @@ def update_metrics(
     flat_p = segm_preds.reshape(-1).astype(jnp.int32)
     # confusion matrix as a one-hot contraction on the MXU: scatter-based
     # bincount costs ~20% of a whole train step on TPU, the (N,C)x(N,C)
-    # matmul with f32 accumulation is ~100x cheaper (values 0/1 are exact in
-    # bf16; partial sums accumulate in f32 via preferred_element_type)
+    # matmul with f32 accumulation is ~100x cheaper (0/1 values are exact in
+    # bf16). A Pallas variant that expands one-hots in VMEM exists
+    # (ops/pallas/confmat.py) but measured 4x SLOWER on v5e — XLA pipelines
+    # the single big contraction better than a sequential tiled accumulate —
+    # so the XLA form stays the default (docs/BENCH_NOTES.md).
     t1h = jax.nn.one_hot(flat_t, c, dtype=jnp.bfloat16)
     p1h = jax.nn.one_hot(flat_p, c, dtype=jnp.bfloat16)
     if valid is not None:

@@ -123,6 +123,11 @@ class MTANMiniUnet(nn.Module):
     task_subnets_hidden_channels: int = 128
     encoder_first_channel: int = 64
     encoder_num_channels: int = 4
+    # rematerialize the per-task attention modules in backward. Measured on
+    # v5e (bs128, 128x256): remat LOSES (294 -> 254 img/s) — the module
+    # inputs re-read for recompute outweigh the saved hidden activations.
+    # Kept as an option for memory-constrained configs.
+    remat_attention: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
@@ -132,6 +137,11 @@ class MTANMiniUnet(nn.Module):
         task_names = list(self.map_tasks_to_num_channels.keys())
         n_tasks = len(task_names)
         hidden = self.task_subnets_hidden_channels
+        AttnEnc = AttentionModuleEncoder
+        AttnDec = AttentionModuleDecoder
+        if self.remat_attention:
+            AttnEnc = nn.remat(AttentionModuleEncoder, static_argnums=(4,))
+            AttnDec = nn.remat(AttentionModuleDecoder, static_argnums=(4,))
 
         enc_out = [
             self.encoder_first_channel * (2**i)
@@ -151,7 +161,7 @@ class MTANMiniUnet(nn.Module):
             new_streams: t.List[jax.Array] = []
             for ti in range(n_tasks):
                 new_streams.append(
-                    AttentionModuleEncoder(
+                    AttnEnc(
                         out_channels=ch,
                         shared_2_channels=ch,
                         hidden_channels=hidden,
@@ -188,7 +198,7 @@ class MTANMiniUnet(nn.Module):
             new_streams = []
             for ti in range(n_tasks):
                 new_streams.append(
-                    AttentionModuleDecoder(
+                    AttnDec(
                         shared_2_channels=ch,
                         out_channels=ch,
                         hidden_channels=hidden,
