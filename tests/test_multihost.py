@@ -1,0 +1,38 @@
+"""Multi-host helpers in a single-process, 8-virtual-device setting."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vision_mtl_tpu.parallel.mesh import create_mesh, put_batch
+from vision_mtl_tpu.parallel.multihost import (
+    global_batch_from_local,
+    process_index_range,
+)
+
+
+def test_process_index_range_partitions():
+    ranges = [process_index_range(103, pi, 4) for pi in range(4)]
+    all_idx = [i for r in ranges for i in r]
+    assert all_idx == list(range(103))
+    assert len(ranges[0]) == 25 and len(ranges[-1]) == 28
+
+
+def test_global_batch_single_process_matches_put_batch(rng):
+    mesh = create_mesh("data:8")
+    batch = {
+        "img": rng.uniform(size=(8, 4, 4, 3)).astype(np.float32),
+        "mask": rng.integers(0, 3, size=(8, 4, 4)).astype(np.int32),
+    }
+    g = global_batch_from_local(batch, mesh)
+    ref = put_batch(batch, mesh)
+    for k in batch:
+        assert g[k].shape == batch[k].shape
+        assert g[k].sharding == ref[k].sharding
+        np.testing.assert_array_equal(np.asarray(g[k]), batch[k])
+    # a computation over the assembled batch works
+    s = jax.jit(lambda b: jnp.sum(b["img"]))(g)
+    np.testing.assert_allclose(
+        float(s), float(np.sum(batch["img"])), rtol=1e-6
+    )

@@ -87,6 +87,14 @@ def load_ckpt_model(
     return _checkpointer().restore(path)
 
 
+def load_ckpt(
+    ckpt_dir: str, epoch: t.Optional[int] = None
+) -> t.Tuple[t.Dict[str, t.Any], t.Dict[str, t.Any]]:
+    """(session, model) checkpoint pair (reference load_ckpt,
+    pipeline_utils.py:207-214)."""
+    return load_ckpt_session(ckpt_dir, epoch), load_ckpt_model(ckpt_dir, epoch)
+
+
 def load_ckpt_session(
     ckpt_dir: str, epoch: t.Optional[int] = None
 ) -> t.Dict[str, t.Any]:

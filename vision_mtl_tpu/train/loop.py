@@ -45,6 +45,19 @@ def _metrics_float(mstate) -> t.Dict[str, float]:
     return {k: float(v) for k, v in compute_metrics(mstate).items()}
 
 
+def _log_param_histograms(logger: t.Any, state: TrainState, step: int) -> None:
+    tb = getattr(logger, "_tb", None)
+    if tb is None:
+        return
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    for path, value in flat:
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        try:
+            tb.add_histogram(name, jax.device_get(value), step)
+        except Exception:
+            return
+
+
 def run_pipe(
     args: argparse.Namespace,
     model: t.Any,
@@ -56,6 +69,7 @@ def run_pipe(
     exp: t.Any = None,
     logger: t.Any = None,
     log_every_n_steps: int = 1,
+    log_param_histograms_every: int = 0,
 ) -> t.Tuple[TrainState, t.Dict[str, t.Dict[str, list]]]:
     train_step = make_train_step(
         model,
@@ -104,6 +118,14 @@ def run_pipe(
                 if exp:
                     for k, v in step_stats.items():
                         exp.log_metric(k, v, step=global_step)
+            if (
+                log_param_histograms_every
+                and global_step % log_param_histograms_every == 0
+            ):
+                # parameter histograms (reference on_after_backward logs the
+                # state_dict every 25 steps, lit_module.py:221-230). Opt-in:
+                # fetching all params to host is expensive.
+                _log_param_histograms(logger, state, global_step)
             global_step += 1
 
         train_metrics = _metrics_float(mstate)
