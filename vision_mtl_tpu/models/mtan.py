@@ -30,11 +30,117 @@ from vision_mtl_tpu.models.blocks import (
     Conv,
     DoubleConv,
     max_pool_2x,
+    torch_conv_bias_init,
 )
 from vision_mtl_tpu.ops.interpolate import (
     pad_concat,
     resize_bilinear_align_corners,
 )
+
+
+class GateChain(nn.Module):
+    """The attention-gate core shared by both module types:
+    ``shared * sigmoid(BN2(conv1x1(relu(BN1(conv1x1(x))))))``.
+
+    Implemented with explicit params so the eval path can fold the BNs and
+    dispatch to the fused Pallas kernel (ops/pallas/fused_gate.py), which
+    keeps the (N, hidden) intermediate in VMEM. Train mode (and non-TPU
+    backends) use the standard jnp path with batch statistics and flax-style
+    running-stat updates.
+    """
+
+    hidden: int
+    gate_features: int
+    dtype: t.Any = jnp.bfloat16
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, shared: jax.Array, train: bool = False
+    ) -> jax.Array:
+        cin = x.shape[-1]
+        c2 = self.gate_features
+        hid = self.hidden
+
+        def conv_init(key, shape, dtype=jnp.float32):
+            # torch kaiming_uniform(a=sqrt(5)) for a 1x1 conv
+            from vision_mtl_tpu.models.blocks import torch_conv_kernel_init
+
+            return torch_conv_kernel_init(key, shape, dtype)
+
+        w1 = self.param("w1", conv_init, (cin, hid), jnp.float32)
+        b1 = self.param(
+            "b1", lambda k, s, d=jnp.float32: torch_conv_bias_init(k, s, d, cin),
+            (hid,),
+        )
+        w2 = self.param("w2", conv_init, (hid, c2), jnp.float32)
+        b2 = self.param(
+            "b2", lambda k, s, d=jnp.float32: torch_conv_bias_init(k, s, d, hid),
+            (c2,),
+        )
+        scale1 = self.param("scale1", nn.initializers.ones_init(), (hid,), jnp.float32)
+        bias1 = self.param("bias1", nn.initializers.zeros_init(), (hid,), jnp.float32)
+        scale2 = self.param("scale2", nn.initializers.ones_init(), (c2,), jnp.float32)
+        bias2 = self.param("bias2", nn.initializers.zeros_init(), (c2,), jnp.float32)
+        mean1 = self.variable("batch_stats", "mean1", jnp.zeros, (hid,), jnp.float32)
+        var1 = self.variable("batch_stats", "var1", jnp.ones, (hid,), jnp.float32)
+        mean2 = self.variable("batch_stats", "mean2", jnp.zeros, (c2,), jnp.float32)
+        var2 = self.variable("batch_stats", "var2", jnp.ones, (c2,), jnp.float32)
+
+        import os
+
+        # The Pallas fused-gate kernel measured SLOWER than XLA's lowering
+        # on v5e (814 vs 1524 img/s eval fwd, bs128: the Cin=3 contraction
+        # starves the MXU and XLA pipelines the op chain better), so it is
+        # opt-in; see docs/BENCH_NOTES.md.
+        fused_ok = bool(os.environ.get("VMTL_ENABLE_FUSED_GATE"))
+        if not train and fused_ok and jax.default_backend() == "tpu":
+            from vision_mtl_tpu.ops.pallas.fused_gate import (
+                fold_bn,
+                fused_attention_gate,
+            )
+
+            s1, c1 = fold_bn(b1, scale1, bias1, mean1.value, var1.value, self.epsilon)
+            s2, c2c = fold_bn(b2, scale2, bias2, mean2.value, var2.value, self.epsilon)
+            return fused_attention_gate(
+                x, shared, w1 * s1[None, :], c1, w2 * s2[None, :], c2c
+            )
+
+        # reference jnp path
+        def bn(z, mean_v, var_v, scale, bias):
+            zf = z.astype(jnp.float32)
+            if train:
+                m = jnp.mean(zf, axis=(0, 1, 2))
+                v = jnp.var(zf, axis=(0, 1, 2))
+                if not self.is_initializing():
+                    mean_v.value = self.momentum * mean_v.value + (1 - self.momentum) * m
+                    var_v.value = self.momentum * var_v.value + (1 - self.momentum) * v
+            else:
+                m, v = mean_v.value, var_v.value
+            out = (zf - m) * jax.lax.rsqrt(v + self.epsilon) * scale + bias
+            return out.astype(z.dtype)
+
+        h = (
+            jnp.dot(
+                x.astype(self.dtype),
+                w1.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b1
+        ).astype(self.dtype)
+        h = nn.relu(bn(h, mean1, var1, scale1, bias1))
+        a = (
+            jnp.dot(
+                h.astype(self.dtype),
+                w2.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b2
+        ).astype(self.dtype)
+        a = bn(a, mean2, var2, scale2, bias2)
+        attn = nn.sigmoid(a)
+        return shared * attn.astype(shared.dtype)
 
 
 class AttentionModuleEncoder(nn.Module):
@@ -61,13 +167,11 @@ class AttentionModuleEncoder(nn.Module):
             h = jnp.concatenate(
                 [conv1_shared, prev_layer_outs.astype(conv1_shared.dtype)], axis=-1
             )
-        h = Conv(self.hidden_channels, (1, 1), dtype=self.dtype)(h)
-        h = BatchNorm(use_running_average=not train)(h)
-        h = nn.relu(h)
-        h = Conv(self.shared_2_channels, (1, 1), dtype=self.dtype)(h)
-        h = BatchNorm(use_running_average=not train)(h)
-        attn = nn.sigmoid(h)
-        g = conv2_shared * attn.astype(conv2_shared.dtype)
+        g = GateChain(
+            hidden=self.hidden_channels,
+            gate_features=self.shared_2_channels,
+            dtype=self.dtype,
+        )(h, conv2_shared, train)
         g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g)
         g = BatchNorm(use_running_average=not train)(g)
         g = nn.relu(g)
@@ -103,13 +207,11 @@ class AttentionModuleDecoder(nn.Module):
         merged = jnp.concatenate(
             [conv1_shared, p.astype(conv1_shared.dtype)], axis=-1
         )
-        h = Conv(self.hidden_channels, (1, 1), dtype=self.dtype)(merged)
-        h = BatchNorm(use_running_average=not train)(h)
-        h = nn.relu(h)
-        h = Conv(self.shared_2_channels, (1, 1), dtype=self.dtype)(h)
-        h = BatchNorm(use_running_average=not train)(h)
-        attn = nn.sigmoid(h)
-        g = conv2_shared * attn.astype(conv2_shared.dtype)
+        g = GateChain(
+            hidden=self.hidden_channels,
+            gate_features=self.shared_2_channels,
+            dtype=self.dtype,
+        )(merged, conv2_shared, train)
         g = Conv(self.out_channels, (3, 3), dtype=self.dtype)(g)
         g = BatchNorm(use_running_average=not train)(g)
         return nn.relu(g)
