@@ -1,0 +1,78 @@
+"""NYUv2 loader on a synthetic on-disk PNG tree: normalization semantics
+(uint8 img /255, mask un-scaling quirk, uint16 depth /1e4 /max_depth,
+antialiased label resize), download gating."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vision_mtl_tpu.cfg import ResizeSpec
+from vision_mtl_tpu.data.nyuv2 import NYUv2
+
+
+@pytest.fixture(scope="module")
+def nyu_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nyuv2")
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    for stage, n in (("train", 5), ("test", 3)):
+        for part in ("rgb", "seg13", "depth"):
+            (root / f"{stage}_{part}").mkdir(parents=True)
+        for i in range(n):
+            name = f"{i + 1:04d}.png"
+            rgb = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            seg = rng.integers(0, 14, size=(h, w)).astype(np.uint8)
+            depth_m = rng.uniform(0.5, 9.9, size=(h, w))
+            depth16 = (depth_m * 1e4).astype(np.uint16)
+            Image.fromarray(rgb).save(root / f"{stage}_rgb" / name)
+            Image.fromarray(seg).save(root / f"{stage}_seg13" / name)
+            Image.fromarray(depth16).save(root / f"{stage}_depth" / name)
+    return str(root)
+
+
+def test_sample_contract_no_resize(nyu_tree):
+    ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=None)
+    assert len(ds) == 5
+    s = ds[0]
+    assert s["img"].shape == (48, 64, 3)
+    assert s["img"].dtype == np.float32
+    assert 0.0 <= s["img"].min() and s["img"].max() <= 1.0
+    assert s["mask"].shape == (48, 64) and s["mask"].dtype == np.int32
+    assert 0 <= s["mask"].min() and s["mask"].max() <= 13
+    assert s["depth"].shape == (48, 64, 1)
+    # depth: uint16/1e4 -> meters, then /max_depth(10) -> [0,1]
+    assert 0.0 < s["depth"].max() <= 1.0
+
+
+def test_mask_values_preserved_without_resize(nyu_tree):
+    ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=None)
+    raw = ds.load_raw_sample(0)
+    s = ds.prepare_sample(raw)
+    np.testing.assert_array_equal(s["mask"], raw["mask"].astype(np.int32))
+
+
+def test_resize_transform(nyu_tree):
+    spec = ResizeSpec(32, 32, antialias=True)
+    ds = NYUv2(stage="test", data_base_dir=nyu_tree, transforms=spec)
+    s = ds[0]
+    assert s["img"].shape == (32, 32, 3)
+    assert s["mask"].shape == (32, 32)
+    assert s["depth"].shape == (32, 32, 1)
+    # mask labels remain in-range despite the bilinear label resize quirk
+    assert 0 <= s["mask"].min() and s["mask"].max() <= 13
+
+
+def test_missing_data_raises(tmp_path):
+    with pytest.raises(RuntimeError, match="Dataset not complete"):
+        NYUv2(stage="train", data_base_dir=str(tmp_path / "nope"))
+
+
+def test_download_without_network_raises_actionable(tmp_path):
+    from vision_mtl_tpu.data.nyuv2 import _fetch
+
+    with pytest.raises(RuntimeError, match="Place the"):
+        _fetch("http://192.0.2.1/never.tgz", str(tmp_path))
+
+
+def test_benchmark_idxs_defined():
+    assert NYUv2.benchmark_idxs == [647, 584, 169, 768]

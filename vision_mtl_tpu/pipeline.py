@@ -65,6 +65,7 @@ def create_main_components(
         train_transform=data_cfg.train_transform,
         test_transform=data_cfg.test_transform,
         seed=getattr(args, "seed", cfg.seed),
+        wire_format=getattr(args, "wire_format", None),
     )
     datamodule.setup()
     model, state = init_model(args, data_cfg)

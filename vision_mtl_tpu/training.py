@@ -56,6 +56,9 @@ def main(argv=None) -> None:
         mesh=mesh,
         exp=exp,
         logger=logger,
+        log_param_histograms_every=getattr(
+            args, "log_param_histograms_every", 0
+        ),
     )
 
     preds, predict_metrics = predict(

@@ -66,6 +66,19 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         default="bf16",
         help="Compute precision (params always f32).",
     )
+    tpu_args.add_argument(
+        "--log_param_histograms_every",
+        type=int,
+        default=0,
+        help="Log parameter histograms to TensorBoard every N steps "
+        "(reference logs every 25; 0 disables — host fetches are costly).",
+    )
+    tpu_args.add_argument(
+        "--wire_format",
+        choices=["f32", "compact"],
+        default=None,
+        help="Host->device batch encoding; default per dataset config.",
+    )
 
     args, _ = parser.parse_known_args(argv)
     return args
