@@ -96,12 +96,16 @@ def load_ckpt(
 
 
 def load_ckpt_session(
-    ckpt_dir: str, epoch: t.Optional[int] = None
+    ckpt_dir: str, epoch: t.Optional[int] = None, target: t.Any = None
 ) -> t.Dict[str, t.Any]:
+    """Load a session artifact; ``target`` (an abstract pytree) restores
+    structured leaves like the optimizer-state namedtuples exactly."""
     if epoch is None:
         epoch = _latest_epoch(ckpt_dir, "session")
     path = os.path.abspath(os.path.join(ckpt_dir, f"session_{epoch}"))
-    return _checkpointer().restore(path)
+    if target is None:
+        return _checkpointer().restore(path)
+    return _checkpointer().restore(path, target)
 
 
 def restore_state(
@@ -121,6 +125,38 @@ def restore_state(
         restored["batch_stats"],
     )
     return state.replace(params=params, batch_stats=batch_stats)
+
+
+def restore_session(
+    state: TrainState,
+    scheduler: ReduceLROnPlateau,
+    ckpt_dir: str,
+    epoch: t.Optional[int] = None,
+) -> t.Tuple[TrainState, ReduceLROnPlateau, int]:
+    """Full resume: params/batch_stats + optimizer moments + lr + plateau
+    scheduler + epoch counter. Returns (state, scheduler, start_epoch).
+
+    The reference only warm-starts model weights (pipeline_utils.py:28-29);
+    exact-resume is a production addition (dual artifacts already carry the
+    session, reference save_ckpt:156-163).
+    """
+    state = restore_state(state, ckpt_dir, epoch)
+    target = {
+        "opt_state": jax.device_get(state.opt_state),
+        "lr": np.zeros((), np.float32),
+        "scheduler": scheduler.state_dict(),
+        "epoch": 0,
+        "step": 0,
+    }
+    session = load_ckpt_session(ckpt_dir, epoch, target=target)
+    state = state.replace(
+        opt_state=session["opt_state"], step=int(session.get("step", 0))
+    )
+    from vision_mtl_tpu.train.state import set_lr
+
+    state = set_lr(state, float(session["lr"]))
+    scheduler.load_state_dict(session["scheduler"])
+    return state, scheduler, int(session["epoch"]) + 1
 
 
 def log_args(

@@ -70,6 +70,8 @@ def run_pipe(
     logger: t.Any = None,
     log_every_n_steps: int = 1,
     log_param_histograms_every: int = 0,
+    scheduler: t.Optional[ReduceLROnPlateau] = None,
+    start_epoch: int = 0,
 ) -> t.Tuple[TrainState, t.Dict[str, t.Dict[str, list]]]:
     train_step = make_train_step(
         model,
@@ -85,7 +87,8 @@ def run_pipe(
     )
     predict_step = make_predict_step(model)
 
-    scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
+    if scheduler is None:
+        scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
 
     benchmark_batch = datamodule.benchmark_batch
     if benchmark_batch is not None:
@@ -102,7 +105,7 @@ def run_pipe(
         "val": defaultdict(list),
     }
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         print(f"### Epoch {epoch + 1}/{num_epochs} ###")
         # ---------------- train ----------------
         mstate = init_metrics(num_classes)

@@ -46,6 +46,18 @@ def main(argv=None) -> None:
     model = components["model"]
     state = components["state"]
 
+    scheduler = None
+    start_epoch = 0
+    if getattr(args, "resume_dir", None):
+        from vision_mtl_tpu.train.checkpoint import restore_session
+        from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
+
+        scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
+        state, scheduler, start_epoch = restore_session(
+            state, scheduler, args.resume_dir
+        )
+        print(f"Resumed from {args.resume_dir} at epoch {start_epoch}")
+
     state, _ = run_pipe(
         args,
         model,
@@ -59,6 +71,8 @@ def main(argv=None) -> None:
         log_param_histograms_every=getattr(
             args, "log_param_histograms_every", 0
         ),
+        scheduler=scheduler,
+        start_epoch=start_epoch,
     )
 
     preds, predict_metrics = predict(

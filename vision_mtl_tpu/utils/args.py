@@ -19,6 +19,11 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
     pipe_args.add_argument("--do_show_preds", action="store_true")
     pipe_args.add_argument("--exp_disabled", action="store_true")
     pipe_args.add_argument("--ckpt_dir")
+    pipe_args.add_argument(
+        "--resume_dir",
+        help="Exact-resume a run: restore params, optimizer, lr, plateau "
+        "scheduler and epoch from this run dir and continue training.",
+    )
     pipe_args.add_argument("--run_name")
     pipe_args.add_argument("--device", default="tpu")
     pipe_args.add_argument("--exp_tags", nargs="*", default=[])
