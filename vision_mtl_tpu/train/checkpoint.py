@@ -114,15 +114,22 @@ def restore_state(
     """Warm-start params/batch_stats into an existing state
     (reference init_model --ckpt_dir path, pipeline_utils.py:28-29)."""
     restored = load_ckpt_model(ckpt_dir, epoch)
+
+    def cast(tgt, src):
+        src = np.asarray(src)
+        if tgt.shape != src.shape:
+            raise ValueError(
+                f"checkpoint/model shape mismatch: {src.shape} vs "
+                f"{tgt.shape} — wrong model config or dataset for this "
+                f"checkpoint?"
+            )
+        return src.astype(tgt.dtype)
+
     params = jax.tree.map(
-        lambda tgt, src: np.asarray(src, dtype=tgt.dtype),
-        jax.device_get(state.params),
-        restored["params"],
+        cast, jax.device_get(state.params), restored["params"]
     )
     batch_stats = jax.tree.map(
-        lambda tgt, src: np.asarray(src, dtype=tgt.dtype),
-        jax.device_get(state.batch_stats),
-        restored["batch_stats"],
+        cast, jax.device_get(state.batch_stats), restored["batch_stats"]
     )
     return state.replace(params=params, batch_stats=batch_stats)
 
