@@ -4,7 +4,6 @@ equivalence, datamodule integration, loader usage."""
 import numpy as np
 import pytest
 
-import vision_mtl_tpu.data.cityscapes as cs_mod
 from vision_mtl_tpu.data.cityscapes import CityscapesDataset
 from vision_mtl_tpu.data.loader import DataLoader
 from vision_mtl_tpu.data import native

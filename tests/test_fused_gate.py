@@ -1,7 +1,6 @@
 """Fused attention gate: Pallas kernel (interpret) vs jnp; GateChain paths."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

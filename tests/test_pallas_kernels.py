@@ -1,7 +1,6 @@
 """Pallas kernels in interpret mode (CPU) vs reference numpy computations."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

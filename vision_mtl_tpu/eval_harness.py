@@ -23,7 +23,7 @@ import pandas as pd
 
 from vision_mtl_tpu.cfg import fetch_data_cfg
 from vision_mtl_tpu.data.datamodule import MTLDataModule
-from vision_mtl_tpu.pipeline import compute_dtype, init_model
+from vision_mtl_tpu.pipeline import init_model
 from vision_mtl_tpu.predict import predict
 from vision_mtl_tpu.train.checkpoint import restore_state
 

@@ -16,7 +16,6 @@ support padded final eval batches without recompilation.
 
 from __future__ import annotations
 
-import functools
 import typing as t
 
 import jax
@@ -25,7 +24,6 @@ from flax import linen as nn
 
 from vision_mtl_tpu.losses import mtl_loss
 from vision_mtl_tpu.metrics import MetricState, update_metrics
-from vision_mtl_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from vision_mtl_tpu.train.state import TrainState
 
 Batch = t.Dict[str, jax.Array]
