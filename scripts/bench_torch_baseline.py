@@ -41,12 +41,12 @@ def bench_torch(bs: int, h: int, w: int, steps: int) -> float:
         skip = enc_ch[i + 1] if i + 1 < len(enc_ch) else 0
         c_in = in_ch + skip
         for j in range(2):
-            dec_w[f"b{i}c{j}"] = torch.randn(out_ch, c_in if j == 0 else out_ch, 3, 3, requires_grad=True) * 0.02
+            dec_w[f"b{i}c{j}"] = (torch.randn(out_ch, c_in if j == 0 else out_ch, 3, 3) * 0.02).requires_grad_()
             dec_w[f"b{i}bn{j}w"] = torch.ones(out_ch, requires_grad=True)
             dec_w[f"b{i}bn{j}b"] = torch.zeros(out_ch, requires_grad=True)
         in_ch = out_ch
-    head_s = torch.randn(19, 33, 3, 3, requires_grad=True) * 0.02
-    head_d = torch.randn(1, 33, 3, 3, requires_grad=True) * 0.02
+    head_s = (torch.randn(19, 33, 3, 3) * 0.02).requires_grad_()
+    head_d = (torch.randn(1, 33, 3, 3) * 0.02).requires_grad_()
 
     x = torch.rand(bs, 3, h, w)
     mask = torch.randint(0, 19, (bs, h, w))
