@@ -37,6 +37,17 @@ def main() -> None:
     p.add_argument("--width", type=int, default=256)
     args = p.parse_args()
 
+    try:
+        import os as _os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/jax_comp_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from vision_mtl_tpu.cfg import cityscapes_data_cfg
     from vision_mtl_tpu.metrics import init_metrics
     from vision_mtl_tpu.models import build_model

@@ -20,15 +20,36 @@ from vision_mtl_tpu.train.loop import run_pipe
 from vision_mtl_tpu.utils.args import parse_args, update_args
 
 
+def _setup_compile_cache() -> None:
+    """Persistent compilation cache — TPU compiles are expensive (tens of
+    seconds per program through remote compile)."""
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_comp_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     cfg.update_fields_with_args(args)
+    _setup_compile_cache()
 
     data_cfg = fetch_data_cfg(args.dataset_name)
 
     mesh = create_mesh(args.mesh_shape) if len(jax.devices()) > 1 else None
     if mesh is not None:
         print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+        data_shards = mesh.shape.get("data", 1)
+        if args.batch_size % data_shards:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by the "
+                f"mesh data axis ({data_shards}); pick a multiple or adjust "
+                f"--mesh_shape."
+            )
 
     if args.do_optimize:
         from vision_mtl_tpu.tuning import run_study
