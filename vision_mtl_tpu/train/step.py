@@ -90,17 +90,24 @@ def make_train_step(
     loss_depth_weight: float = 1.0,
     mesh=None,
     donate: bool = True,
+    grad_accum_steps: int = 1,
 ):
-    def step(
-        state: TrainState, batch: Batch, mstate: MetricState
-    ) -> t.Tuple[TrainState, MetricState, t.Dict[str, jax.Array]]:
-        batch = decode_batch(batch)
+    """One fused optimizer step.
 
+    ``grad_accum_steps > 1`` splits the batch into that many microbatches
+    inside the compiled program (lax.scan), averaging gradients/losses and
+    accumulating metrics per microbatch — large effective batches without the
+    activation memory (peak memory scales with the microbatch). BatchNorm
+    batch statistics are per-microbatch (ghost-BN semantics); running stats
+    chain through the scan.
+    """
+
+    def micro(params, batch_stats, batch):
         def loss_fn(params):
             losses, post, new_stats = _forward_and_losses(
                 model,
                 params,
-                state.batch_stats,
+                batch_stats,
                 batch,
                 True,
                 loss_segm_weight,
@@ -109,18 +116,78 @@ def make_train_step(
             return losses["loss"], (losses, post, new_stats)
 
         grads, (losses, post, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params
+            params
         )
+        return grads, losses, post, new_stats
+
+    def step(
+        state: TrainState, batch: Batch, mstate: MetricState
+    ) -> t.Tuple[TrainState, MetricState, t.Dict[str, jax.Array]]:
+        batch = decode_batch(batch)
+
+        if grad_accum_steps == 1:
+            grads, losses, post, new_stats = micro(
+                state.params, state.batch_stats, batch
+            )
+            mstate = update_metrics(
+                mstate,
+                post["segm_predictions"],
+                batch["mask"],
+                post["depth_predictions"],
+                batch["depth"],
+                losses,
+                valid=batch.get("valid"),
+            )
+        else:
+            bs = batch["img"].shape[0]
+            assert bs % grad_accum_steps == 0, (bs, grad_accum_steps)
+            micro_bs = bs // grad_accum_steps
+            stacked = jax.tree.map(
+                lambda x: x.reshape((grad_accum_steps, micro_bs) + x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, mb):
+                stats, grad_acc, loss_acc, ms = carry
+                grads, losses, post, new_stats = micro(state.params, stats, mb)
+                grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+                loss_acc = jax.tree.map(jnp.add, loss_acc, losses)
+                ms = update_metrics(
+                    ms,
+                    post["segm_predictions"],
+                    mb["mask"],
+                    post["depth_predictions"],
+                    mb["depth"],
+                    losses,
+                    valid=mb.get("valid"),
+                )
+                return (new_stats, grad_acc, loss_acc, ms), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_losses = {
+                k: jnp.zeros((), jnp.float32)
+                for k in ("loss", "loss_segm", "loss_depth")
+            }
+            (new_stats, grads, losses, mstate), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_grads, zero_losses, mstate),
+                stacked,
+            )
+            inv = 1.0 / grad_accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            losses = jax.tree.map(lambda v: v * inv, losses)
+            # the scan counted each microbatch as a step; collapse to one
+            mstate = mstate.replace(
+                num_steps=mstate.num_steps - (grad_accum_steps - 1),
+                loss_sum=mstate.loss_sum
+                - (losses["loss"] * (grad_accum_steps - 1)),
+                loss_segm_sum=mstate.loss_segm_sum
+                - (losses["loss_segm"] * (grad_accum_steps - 1)),
+                loss_depth_sum=mstate.loss_depth_sum
+                - (losses["loss_depth"] * (grad_accum_steps - 1)),
+            )
+
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
-        mstate = update_metrics(
-            mstate,
-            post["segm_predictions"],
-            batch["mask"],
-            post["depth_predictions"],
-            batch["depth"],
-            losses,
-            valid=batch.get("valid"),
-        )
         return new_state, mstate, losses
 
     return _jit_step(step, mesh, donate)
