@@ -36,3 +36,23 @@ def test_global_batch_single_process_matches_put_batch(rng):
     np.testing.assert_allclose(
         float(s), float(np.sum(batch["img"])), rtol=1e-6
     )
+
+
+def test_param_shardings_tp_axis(rng):
+    from vision_mtl_tpu.parallel.mesh import param_shardings
+
+    mesh = create_mesh("data:2,model:4")
+    params = {
+        "big_kernel": np.zeros((3, 3, 256, 512), np.float32),
+        "odd_out": np.zeros((3, 3, 256, 509), np.float32),  # not divisible
+        "small_bias": np.zeros((512,), np.float32),
+    }
+    s = param_shardings(mesh, params)
+    assert s["big_kernel"].spec == jax.sharding.PartitionSpec(
+        None, None, None, "model"
+    )
+    assert s["odd_out"].spec == jax.sharding.PartitionSpec()
+    assert s["small_bias"].spec == jax.sharding.PartitionSpec()
+    # data-only mesh -> everything replicated
+    s2 = param_shardings(create_mesh("data:8"), params)
+    assert s2["big_kernel"].spec == jax.sharding.PartitionSpec()

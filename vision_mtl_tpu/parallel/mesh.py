@@ -90,6 +90,33 @@ def batch_sharding(mesh: Mesh, batch: t.Any) -> t.Any:
     )
 
 
+def param_shardings(mesh: Mesh, params: t.Any, min_size: int = 2**16) -> t.Any:
+    """Tensor-parallel param layout: shard large conv kernels' output-channel
+    (last) dim over the mesh's ``model`` axis; everything else replicated.
+
+    For conv nets this is the natural tp axis — each shard computes a slice
+    of the output feature maps and GSPMD all-gathers activations where a
+    following op needs them. Only kernels whose size exceeds ``min_size`` and
+    whose out-channels divide the axis are sharded (tiny tensors cost more in
+    collectives than they save in memory/FLOPs).
+    """
+    model_size = dict(mesh.shape).get("model", 1)
+
+    def spec(x: t.Any) -> NamedSharding:
+        shape = getattr(x, "shape", ())
+        if (
+            model_size > 1
+            and len(shape) >= 2
+            and int(np.prod(shape)) >= min_size
+            and shape[-1] % model_size == 0
+        ):
+            parts: t.List[t.Any] = [None] * (len(shape) - 1) + ["model"]
+            return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
 def put_batch(batch: t.Any, mesh: t.Optional[Mesh]) -> t.Any:
     """Transfer a host batch to devices with the mesh layout (or plain
     device_put without a mesh)."""
