@@ -87,3 +87,33 @@ def test_missing_file_reports_index(tmp_path, rng):
         native.load_cityscapes_batch(
             ["/nonexistent.npy"], [str(p)], [str(p)], 4, 4
         )
+
+
+def test_read_png_matches_pil(tmp_path, rng):
+    from PIL import Image
+
+    # 8-bit RGB
+    rgb = rng.integers(0, 255, size=(37, 53, 3), dtype=np.uint8)
+    p1 = tmp_path / "rgb.png"
+    Image.fromarray(rgb).save(p1)
+    got = native.read_png(str(p1))
+    np.testing.assert_array_equal(got, rgb.astype(np.float32))
+
+    # 8-bit grayscale (seg13 labels)
+    gray = rng.integers(0, 14, size=(37, 53)).astype(np.uint8)
+    p2 = tmp_path / "gray.png"
+    Image.fromarray(gray).save(p2)
+    got = native.read_png(str(p2))
+    np.testing.assert_array_equal(got, gray.astype(np.float32))
+
+    # 16-bit grayscale (depth, meters*1e4)
+    d16 = rng.integers(0, 65535, size=(37, 53)).astype(np.uint16)
+    p3 = tmp_path / "d16.png"
+    Image.fromarray(d16).save(p3)
+    got = native.read_png(str(p3))
+    np.testing.assert_array_equal(got, d16.astype(np.float32))
+
+
+def test_read_png_missing_file():
+    with pytest.raises(RuntimeError, match="decode failed"):
+        native.read_png("/nonexistent.png")
