@@ -25,8 +25,21 @@ from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
 from vision_mtl_tpu.train.state import TrainState, get_lr
 
 
+_shared_checkpointer: t.Optional[ocp.StandardCheckpointer] = None
+
+
 def _checkpointer() -> ocp.StandardCheckpointer:
-    return ocp.StandardCheckpointer()
+    # shared instance so async saves can be awaited across calls
+    global _shared_checkpointer
+    if _shared_checkpointer is None:
+        _shared_checkpointer = ocp.StandardCheckpointer()
+    return _shared_checkpointer
+
+
+def wait_for_saves() -> None:
+    """Block until in-flight async checkpoint writes land."""
+    if _shared_checkpointer is not None:
+        _shared_checkpointer.wait_until_finished()
 
 
 def save_ckpt(
@@ -35,9 +48,14 @@ def save_ckpt(
     epoch: int,
     save_dir: str,
     exp: t.Any = None,
+    block: bool = True,
 ) -> t.Tuple[str, str]:
     """Write model_{epoch} and session_{epoch} artifacts; log to exp if
-    given (reference save_ckpt, pipeline_utils.py:139-167)."""
+    given (reference save_ckpt, pipeline_utils.py:139-167).
+
+    ``block=False`` lets Orbax write in the background (training overlaps
+    the save); callers must ``wait_for_saves()`` before reading the
+    artifacts or exiting."""
     os.makedirs(save_dir, exist_ok=True)
     model_path = os.path.abspath(os.path.join(save_dir, f"model_{epoch}"))
     session_path = os.path.abspath(os.path.join(save_dir, f"session_{epoch}"))
@@ -55,7 +73,8 @@ def save_ckpt(
     }
     ckptr.save(model_path, model_tree, force=True)
     ckptr.save(session_path, session_tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     if exp:
         exp.log_model("ckpt", model_path)
         exp.log_model("ckpt", session_path)
@@ -80,6 +99,7 @@ def load_ckpt_model(
 ) -> t.Dict[str, t.Any]:
     """Load the (latest-epoch by default) model artifact
     (reference load_ckpt_model, pipeline_utils.py:217-238)."""
+    wait_for_saves()
     if epoch is None:
         epoch = _latest_epoch(ckpt_dir, "model")
     path = os.path.abspath(os.path.join(ckpt_dir, f"model_{epoch}"))
@@ -100,6 +120,7 @@ def load_ckpt_session(
 ) -> t.Dict[str, t.Any]:
     """Load a session artifact; ``target`` (an abstract pytree) restores
     structured leaves like the optimizer-state namedtuples exactly."""
+    wait_for_saves()
     if epoch is None:
         epoch = _latest_epoch(ckpt_dir, "session")
     path = os.path.abspath(os.path.join(ckpt_dir, f"session_{epoch}"))

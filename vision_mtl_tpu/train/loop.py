@@ -78,6 +78,7 @@ def run_pipe(
         loss_segm_weight=args.loss_segm_weight,
         loss_depth_weight=args.loss_depth_weight,
         mesh=mesh,
+        grad_accum_steps=getattr(args, "grad_accum_steps", 1),
     )
     eval_step = make_eval_step(
         model,
@@ -218,12 +219,17 @@ def run_pipe(
         # ---------------- checkpoint ----------------
         if (epoch + 1) % args.save_epoch_freq == 0 or epoch == num_epochs - 1:
             if logger is not None:
+                # async: the write overlaps the next epoch; finalized below
                 save_ckpt(
                     state,
                     scheduler,
                     epoch,
                     save_dir=logger.log_dir,
                     exp=exp,
+                    block=False,
                 )
 
+    from vision_mtl_tpu.train.checkpoint import wait_for_saves
+
+    wait_for_saves()
     return state, epoch_metrics

@@ -84,6 +84,13 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         default=None,
         help="Host->device batch encoding; default per dataset config.",
     )
+    tpu_args.add_argument(
+        "--grad_accum_steps",
+        type=int,
+        default=1,
+        help="Microbatches per optimizer step (in-step lax.scan; batch_size "
+        "must be divisible). Ghost-BN semantics per microbatch.",
+    )
 
     args, _ = parser.parse_known_args(argv)
     return args
