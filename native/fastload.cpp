@@ -97,8 +97,21 @@ bool read_npy_f32(const char* path, std::vector<float>* out,
     fclose(f);
     return false;
   }
+  // Validate untrusted header values before allocating: every dim positive,
+  // and n * itemsize within a sane cap (2 GiB) without overflow.
   int64_t n = 1;
-  for (int64_t d : info.shape) n *= d;
+  const int64_t kMaxBytes = int64_t(2) << 30;
+  for (int64_t d : info.shape) {
+    if (d <= 0 || n > kMaxBytes / d) {
+      fclose(f);
+      return false;
+    }
+    n *= d;
+  }
+  if (info.itemsize <= 0 || n > kMaxBytes / info.itemsize) {
+    fclose(f);
+    return false;
+  }
   std::vector<unsigned char> raw(n * info.itemsize);
   if (fseek(f, (long)info.data_offset, SEEK_SET) != 0 ||
       fread(raw.data(), info.itemsize, n, f) != (size_t)n) {

@@ -63,6 +63,7 @@ bool decode_png(const char* path, PngImage* out) {
     const unsigned char* payload = &data[pos + 8];
     if (pos + 12 + len > (size_t)size) return false;
     if (memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) return false;  // truncated IHDR
       width = (int)be32(payload);
       height = (int)be32(payload + 4);
       bit_depth = payload[8];

@@ -1,0 +1,173 @@
+"""Host-side batch loader with threaded sample decode and device prefetch.
+
+Replaces torch DataLoader (reference lit_datamodule.py:97-127). Differences,
+all deliberate and TPU-motivated:
+
+  * static batch shapes: train drops the ragged last batch (DataConfig.
+    drop_last=True — the reference config declares it but never passes it to
+    its loaders); eval PADS the last batch and attaches a per-sample
+    ``valid`` mask so metrics/losses are exact without recompilation.
+  * ``num_workers`` maps to a thread pool (numpy/PIL decode releases the
+    GIL); an optional C++ decode path plugs in underneath (native/).
+  * ``prefetch_to_device`` overlaps host decode + H2D transfer with device
+    compute by keeping ``size`` batches in flight, sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import typing as t
+
+import numpy as np
+
+from vision_mtl_tpu.parallel.mesh import put_batch
+
+Batch = t.Dict[str, np.ndarray]
+
+
+def _collate(samples: t.Sequence[t.Dict[str, np.ndarray]]) -> Batch:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+def compress_batch(batch: Batch) -> Batch:
+    """Compact wire format for host->device transfer: img uint8 (x255),
+    depth uint16 (x65535, values are pre-normalized to [0,1]), mask uint8.
+    The jitted step decodes on device (train/step.py decode_batch) — 4x
+    fewer wire bytes, which matters whenever H2D bandwidth, not compute, is
+    the bottleneck. Quantization: exact for masks and for uint8-sourced
+    images; <=1.6e-5 absolute for depth."""
+    out: Batch = {}
+    for k, v in batch.items():
+        if k == "img" and v.dtype == np.float32:
+            out[k] = np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
+        elif k == "depth" and v.dtype == np.float32:
+            out[k] = np.clip(np.rint(v * 65535.0), 0, 65535).astype(np.uint16)
+        elif k == "mask" and v.max() < 256 and v.min() >= 0:
+            out[k] = v.astype(np.uint8)
+        else:
+            out[k] = v
+    return out
+
+
+def _pad_batch(batch: Batch, target_bs: int) -> Batch:
+    """Pad to target_bs by repeating the last sample; adds 'valid'."""
+    bs = next(iter(batch.values())).shape[0]
+    out: Batch = {}
+    for k, v in batch.items():
+        if bs < target_bs:
+            pad = np.repeat(v[-1:], target_bs - bs, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+        else:
+            out[k] = v
+    valid = np.zeros((target_bs,), np.float32)
+    valid[:bs] = 1.0
+    out["valid"] = valid
+    return out
+
+
+class DataLoader:
+    """Iterable over collated numpy batches."""
+
+    def __init__(
+        self,
+        dataset: t.Any,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_last: bool = False,
+        num_workers: int = 0,
+        with_valid: bool = False,
+        wire_format: str = "f32",
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.num_workers = num_workers
+        self.with_valid = with_valid
+        self.wire_format = wire_format
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> t.List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> t.Iterator[Batch]:
+        batches = self._index_batches()
+        self.epoch += 1
+
+        if self.num_workers > 0:
+            pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+            get = lambda i: pool.submit(self.dataset.__getitem__, i)  # noqa: E731
+        else:
+            pool = None
+
+        native_batch = getattr(self.dataset, "load_batch", None)
+        try:
+            for idxs in batches:
+                batch = None
+                if native_batch is not None:
+                    try:
+                        batch = native_batch([int(i) for i in idxs])
+                    except RuntimeError:
+                        batch = None
+                if batch is None:
+                    if pool is not None:
+                        samples = [f.result() for f in [get(i) for i in idxs]]
+                    else:
+                        samples = [self.dataset[int(i)] for i in idxs]
+                    batch = _collate(samples)
+                if self.pad_last:
+                    batch = _pad_batch(batch, self.batch_size)
+                elif self.with_valid:
+                    batch["valid"] = np.ones(
+                        (len(idxs),), np.float32
+                    )
+                if self.wire_format == "compact":
+                    batch = compress_batch(batch)
+                yield batch
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+
+
+def prefetch_to_device(
+    iterator: t.Iterable[Batch], mesh=None, size: int = 2
+) -> t.Iterator[t.Any]:
+    """Keep ``size`` device-resident batches in flight (async H2D via
+    device_put; jax dispatch is async so compute overlaps transfer)."""
+    queue: collections.deque = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put_batch(next(it), mesh))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put_batch(next(it), mesh))
+        except StopIteration:
+            pass
+        yield out
