@@ -124,6 +124,13 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 2),
+                # the reference publishes no throughput number; the baseline
+                # is a derived estimate for its documented 8GB-GPU hardware,
+                # anchored by a measured 1.54 img/s torch-CPU twin
+                # (docs/BENCH_NOTES.md)
+                "baseline_kind": "estimated",
+                "baseline_imgs_per_sec": BASELINE_IMGS_PER_SEC,
+                "measured_torch_cpu_anchor_imgs_per_sec": 1.54,
             }
         )
     )

@@ -95,27 +95,60 @@ bool decode_png(const char* path, PngImage* out) {
     return false;
   if (raw_len != raw.size()) return false;
 
-  // unfilter scanlines in place into `img`
+  // unfilter scanlines into `img` — filter type dispatched per ROW, not per
+  // byte, so the simple filters (none/sub/up/avg) run as tight
+  // auto-vectorizable loops instead of a per-byte switch
   std::vector<unsigned char> img(height * stride);
   for (int y = 0; y < height; y++) {
     unsigned char filter = raw[y * (stride + 1)];
     const unsigned char* src = &raw[y * (stride + 1) + 1];
     unsigned char* dst = &img[y * stride];
     const unsigned char* up = y > 0 ? &img[(y - 1) * stride] : nullptr;
-    for (size_t x = 0; x < stride; x++) {
-      int a = x >= (size_t)bpp ? dst[x - bpp] : 0;
-      int b = up ? up[x] : 0;
-      int c = (up && x >= (size_t)bpp) ? up[x - bpp] : 0;
-      int v = src[x];
-      switch (filter) {
-        case 0: break;
-        case 1: v += a; break;
-        case 2: v += b; break;
-        case 3: v += (a + b) / 2; break;
-        case 4: v += paeth(a, b, c); break;
-        default: return false;
-      }
-      dst[x] = (unsigned char)(v & 0xFF);
+    const size_t b0 = (size_t)bpp;
+    switch (filter) {
+      case 0:
+        memcpy(dst, src, stride);
+        break;
+      case 1:  // sub
+        memcpy(dst, src, b0 < stride ? b0 : stride);
+        for (size_t x = b0; x < stride; x++)
+          dst[x] = (unsigned char)(src[x] + dst[x - b0]);
+        break;
+      case 2:  // up
+        if (up) {
+          for (size_t x = 0; x < stride; x++)
+            dst[x] = (unsigned char)(src[x] + up[x]);
+        } else {
+          memcpy(dst, src, stride);
+        }
+        break;
+      case 3:  // average
+        if (up) {
+          for (size_t x = 0; x < b0 && x < stride; x++)
+            dst[x] = (unsigned char)(src[x] + up[x] / 2);
+          for (size_t x = b0; x < stride; x++)
+            dst[x] = (unsigned char)(src[x] + (dst[x - b0] + up[x]) / 2);
+        } else {
+          for (size_t x = 0; x < b0 && x < stride; x++) dst[x] = src[x];
+          for (size_t x = b0; x < stride; x++)
+            dst[x] = (unsigned char)(src[x] + dst[x - b0] / 2);
+        }
+        break;
+      case 4:  // paeth
+        if (up) {
+          for (size_t x = 0; x < b0 && x < stride; x++)
+            dst[x] = (unsigned char)(src[x] + up[x]);  // paeth(0,b,0)=b
+          for (size_t x = b0; x < stride; x++)
+            dst[x] = (unsigned char)(
+                src[x] + paeth(dst[x - b0], up[x], up[x - b0]));
+        } else {
+          memcpy(dst, src, b0 < stride ? b0 : stride);
+          for (size_t x = b0; x < stride; x++)
+            dst[x] = (unsigned char)(src[x] + dst[x - b0]);  // paeth(a,0,0)=a
+        }
+        break;
+      default:
+        return false;
     }
   }
 

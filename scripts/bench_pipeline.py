@@ -39,6 +39,72 @@ def make_tree(root: str, n: int, h: int = 128, w: int = 256) -> None:
         )
 
 
+def make_nyu_tree(root: str, n: int, h: int = 480, w: int = 640) -> None:
+    """Shape/format-faithful fake NYUv2 PNG tree (8-bit rgb, 8-bit seg13,
+    16-bit depth = meters*1e4 — reference nyuv2.py:148-166)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for sub in ("rgb", "seg13", "depth"):
+        os.makedirs(os.path.join(root, f"train_{sub}"), exist_ok=True)
+    for i in range(n):
+        fn = f"{i:05d}.png"
+        Image.fromarray(
+            rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        ).save(os.path.join(root, "train_rgb", fn))
+        Image.fromarray(
+            rng.integers(0, 14, size=(h, w)).astype(np.uint8)
+        ).save(os.path.join(root, "train_seg13", fn))
+        Image.fromarray(
+            rng.integers(0, 99999, size=(h, w)).astype(np.uint16)
+        ).save(os.path.join(root, "train_depth", fn))
+
+
+def bench_nyu_loader(args) -> None:
+    from vision_mtl_tpu.data import native
+    from vision_mtl_tpu.data.loader import DataLoader
+    from vision_mtl_tpu.data.nyuv2 import NYUv2
+
+    tmp = tempfile.mkdtemp(prefix="nyu_bench_")
+    n = min(args.samples, 64)  # 480x640 pngs are ~100x cityscapes npys
+    print(f"Generating {n} fake NYUv2 samples (480x640 PNG) in {tmp} ...")
+    make_nyu_tree(tmp, n)
+    # test split just mirrors train here
+    for sub in ("rgb", "seg13", "depth"):
+        os.symlink(
+            os.path.join(tmp, f"train_{sub}"), os.path.join(tmp, f"test_{sub}")
+        )
+
+    for name, use_native in (("python/PIL", False), ("native C++", True)):
+        if use_native and not native.available():
+            print("native lib unavailable; skipping")
+            continue
+        ds = NYUv2(stage="train", data_base_dir=tmp)
+        if not use_native:
+            # hide the native lib so read() falls back to PIL
+            import vision_mtl_tpu.data.native as native_mod
+
+            orig = native_mod.available
+            native_mod.available = lambda: False
+        try:
+            dl = DataLoader(
+                ds,
+                batch_size=args.batch_size,
+                shuffle=True,
+                drop_last=False,
+                num_workers=args.num_workers,
+            )
+            n_img = 0
+            t0 = time.perf_counter()
+            for batch in dl:
+                n_img += batch["img"].shape[0]
+            dt = time.perf_counter() - t0
+            print(f"nyu loader[{name:10s}]: {n_img / dt:8.0f} images/sec (host)")
+        finally:
+            if not use_native:
+                native_mod.available = orig
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--samples", type=int, default=256)
@@ -46,7 +112,11 @@ def main() -> None:
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--nyu", action="store_true", help="also bench the NYUv2 PNG host path")
     args = p.parse_args()
+
+    if args.nyu:
+        bench_nyu_loader(args)
 
     tmp = tempfile.mkdtemp(prefix="cs_bench_")
     print(f"Generating {args.samples} fake cityscapes samples in {tmp} ...")

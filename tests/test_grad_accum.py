@@ -73,3 +73,29 @@ def test_accum_reduces_peak_memory_shapewise(rng):
     step = make_train_step(model, donate=False, grad_accum_steps=8)
     s, m, l = step(state, batch, init_metrics(nc))
     assert np.isfinite(float(l["loss"]))
+
+
+def test_accum_silog_divergence_bounded(rng):
+    """SILog is nonlinear in the batch (sqrt of pixel-population variance),
+    so mean-of-microbatch losses != full-batch loss (docs/QUIRKS.md #12).
+    For i.i.d. microbatches the divergence must stay small — this pins the
+    expected magnitude so a bookkeeping regression (e.g. summing instead of
+    averaging) fails loudly."""
+    from vision_mtl_tpu.losses import silog_loss
+
+    b, h, w = 16, 16, 16
+    pred = jnp.asarray(rng.uniform(0.1, 1.0, size=(b, h, w, 1)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0.05, 1.0, size=(b, h, w, 1)).astype(np.float32))
+
+    full = float(silog_loss(pred, target))
+    for k in (2, 4):
+        micro = np.mean(
+            [
+                float(silog_loss(pred[i::k], target[i::k]))
+                for i in range(k)
+            ]
+        )
+        # i.i.d. microbatches: relative divergence well under 2%
+        assert abs(micro - full) / full < 0.02, (k, micro, full)
+        # and strictly nonzero — the nonlinearity is real
+        assert micro != full

@@ -76,3 +76,22 @@ def test_download_without_network_raises_actionable(tmp_path):
 
 def test_benchmark_idxs_defined():
     assert NYUv2.benchmark_idxs == [647, 584, 169, 768]
+
+
+def test_load_via_native_fallback(nyu_tree, monkeypatch):
+    """With PIL absent the loader falls back to the native PNG decoder and
+    produces identical samples."""
+    import vision_mtl_tpu.data.nyuv2 as nyu_mod
+    from vision_mtl_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    ds_pil = nyu_mod.NYUv2(stage="train", data_base_dir=str(nyu_tree))
+    s_pil = ds_pil.load_raw_sample(0)
+    monkeypatch.setattr(nyu_mod, "Image", None)
+    ds_nat = nyu_mod.NYUv2(stage="train", data_base_dir=str(nyu_tree))
+    s_nat = ds_nat.load_raw_sample(0)
+    for k in ("img", "mask", "depth"):
+        np.testing.assert_array_equal(
+            np.asarray(s_pil[k], np.float32), np.asarray(s_nat[k], np.float32)
+        ), k

@@ -45,6 +45,30 @@ def test_run_study_fallback_picks_best(monkeypatch):
     assert best_score == pytest.approx(max(scores))
 
 
+def test_run_study_thread_parallel_trials(monkeypatch):
+    """--n_jobs is honored on CPU backends (reference hyperparam_tuning.py:64
+    runs n_jobs thread-concurrent trials): two trials must overlap in time.
+    A Barrier(2) only releases when both trial threads are inside _run_trial
+    simultaneously — serial execution would raise BrokenBarrierError.
+    Exercises whichever sampler is active (optuna or the built-in fallback:
+    both route through _effective_n_jobs)."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=30)
+
+    def fake_trial(args, data_cfg, weights, mesh, tag):
+        barrier.wait()
+        return weights["loss_segm_weight"]
+
+    monkeypatch.setattr(tuning, "_run_trial", fake_trial)
+    args = argparse.Namespace(
+        n_trials=2, n_jobs=2, num_epochs=1, seed=11,
+        loss_segm_weight=1.0, loss_depth_weight=1.0,
+    )
+    best = tuning.run_study(args, fetch_data_cfg("synthetic"))
+    assert set(best) == {"loss_segm_weight", "loss_depth_weight"}
+
+
 def test_build_table_shape_and_rounding():
     results = {
         "HS": {

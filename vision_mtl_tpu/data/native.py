@@ -25,6 +25,17 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libfastload.so")
 _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
+# per-thread reusable decode buffers — a fresh np.empty per call would fault
+# in hundreds of MB of pages per image at loader rates
+_tls = threading.local()
+
+
+def _scratch(max_elems: int) -> np.ndarray:
+    buf = getattr(_tls, "buf", None)
+    if buf is None or buf.size < max_elems:
+        buf = np.empty(max_elems, np.float32)
+        _tls.buf = buf
+    return buf
 
 
 def _load_lib() -> t.Optional[ctypes.CDLL]:
@@ -89,7 +100,7 @@ def read_npy(path: str, max_elems: int = 64 * 1024 * 1024) -> np.ndarray:
     lib = _load_lib()
     if lib is None:
         raise RuntimeError("native fastload unavailable")
-    out = np.empty(max_elems, np.float32)
+    out = _scratch(max_elems)
     shape = np.zeros(8, np.int64)
     ndim = lib.fastload_read_npy(
         path.encode(),
@@ -110,7 +121,7 @@ def read_png(path: str, max_elems: int = 64 * 1024 * 1024) -> np.ndarray:
     lib = _load_lib()
     if lib is None:
         raise RuntimeError("native fastload unavailable")
-    out = np.empty(max_elems, np.float32)
+    out = _scratch(max_elems)
     shape = np.zeros(4, np.int64)
     ch = lib.fastload_read_png(
         path.encode(),

@@ -24,7 +24,11 @@ import urllib.request
 import zipfile
 
 import numpy as np
-from PIL import Image
+
+try:
+    from PIL import Image
+except ImportError:  # native zlib PNG decoder covers the load path
+    Image = None
 
 from vision_mtl_tpu.cfg import nyuv2_data_cfg as data_cfg
 from vision_mtl_tpu.data.base import MTLDataset, Sample
@@ -76,15 +80,18 @@ class NYUv2(MTLDataset):
 
         def read(folder: str) -> np.ndarray:
             path = os.path.join(self._folder(folder), fn)
-            # native zlib PNG decoder (no GIL); PIL fallback
-            try:
-                from vision_mtl_tpu.data import native
+            # PIL first: both PIL and the native decoder are zlib-inflate
+            # bound and measured within ~10% of each other (480x640: rgb
+            # 8.6 vs 11.4 ms, seg13 3.2 vs 3.1, depth16 6.0 vs 6.7 —
+            # docs/BENCH_NOTES.md), so the native path is the no-PIL
+            # fallback rather than the default
+            if Image is not None:
+                return np.array(Image.open(path))
+            from vision_mtl_tpu.data import native
 
-                if native.available():
-                    return native.read_png(path)
-            except Exception:
-                pass
-            return np.array(Image.open(path))
+            if native.available():
+                return native.read_png(path)
+            raise RuntimeError("neither PIL nor the native PNG decoder is available")
 
         img = read("rgb")
         mask = read("seg13")

@@ -31,7 +31,10 @@ def predict(
 ) -> t.Tuple[t.List[t.Dict[str, np.ndarray]], t.Dict[str, float]]:
     """Returns (list of per-batch pred dicts, predict-stage metrics)."""
     step = make_predict_eval_step(
-        model, loss_segm_weight=loss_segm_weight, loss_depth_weight=loss_depth_weight
+        model,
+        loss_segm_weight=loss_segm_weight,
+        loss_depth_weight=loss_depth_weight,
+        mesh=mesh,
     )
     mstate = init_metrics(num_classes)
     preds: t.List[t.Dict[str, np.ndarray]] = []

@@ -86,6 +86,8 @@ def run_pipe(
         loss_depth_weight=args.loss_depth_weight,
         mesh=mesh,
     )
+    # benchmark-batch predict stays replicated (4 samples need not divide
+    # the data axis — see put_batch(benchmark_batch, None) below)
     predict_step = make_predict_step(model)
 
     if scheduler is None:

@@ -99,7 +99,10 @@ def make_train_step(
     accumulating metrics per microbatch — large effective batches without the
     activation memory (peak memory scales with the microbatch). BatchNorm
     batch statistics are per-microbatch (ghost-BN semantics); running stats
-    chain through the scan.
+    chain through the scan. Note the SILog depth loss is nonlinear in the
+    batch (sqrt of pixel-population variance), so the accumulated loss is an
+    upper bound on — not equal to — the full-batch loss; CE is linear and
+    unaffected (docs/QUIRKS.md #12).
     """
 
     def micro(params, batch_stats, batch):
@@ -223,9 +226,7 @@ def make_eval_step(
         )
         return mstate, losses
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(2,))
-    return jax.jit(step, donate_argnums=(2,))
+    return _jit_step(step, mesh, donate=True, donate_argnums=(2,))
 
 
 def make_predict_step(model: nn.Module, mesh=None):
@@ -233,6 +234,7 @@ def make_predict_step(model: nn.Module, mesh=None):
     (reference lit_module.py:155-169)."""
 
     def step(state: TrainState, img: jax.Array) -> t.Dict[str, jax.Array]:
+        img = _constrain_to_mesh(img, mesh)
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
         out = model.apply(
@@ -253,6 +255,7 @@ def make_predict_eval_step(
     model: nn.Module,
     loss_segm_weight: float = 1.0,
     loss_depth_weight: float = 1.0,
+    mesh=None,
 ):
     """Single compiled pass returning preds AND accumulating predict-stage
     metrics when ground truth is present (reference predict_step,
@@ -286,10 +289,29 @@ def make_predict_eval_step(
         }
         return preds, mstate, losses
 
-    return jax.jit(step, donate_argnums=(2,))
+    return _jit_step(step, mesh, donate=True, donate_argnums=(2,))
 
 
-def _jit_step(step, mesh, donate):
+def _constrain_to_mesh(batch, mesh):
+    """Pin the batch's layout inside the compiled program: dim0 on 'data',
+    H on 'spatial'. With a mesh this guarantees the step computes sharded
+    even when the caller hands over an unsharded (e.g. fully replicated)
+    batch — GSPMD then inserts the conv halo exchanges / gradient psums.
+    No-op without a mesh."""
+    if mesh is None:
+        return batch
+    from vision_mtl_tpu.parallel.mesh import batch_sharding
+
+    return jax.lax.with_sharding_constraint(batch, batch_sharding(mesh, batch))
+
+
+def _jit_step(step, mesh, donate, donate_argnums=(0, 2)):
+    if mesh is not None:
+        inner = step
+
+        def step(state, batch, mstate):
+            return inner(state, _constrain_to_mesh(batch, mesh), mstate)
+
     if donate:
-        return jax.jit(step, donate_argnums=(0, 2))
+        return jax.jit(step, donate_argnums=donate_argnums)
     return jax.jit(step)

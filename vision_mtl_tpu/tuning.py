@@ -24,6 +24,23 @@ from vision_mtl_tpu.utils.args import update_args
 PARAM_KEYS = ("loss_segm_weight", "loss_depth_weight")
 
 
+def _effective_n_jobs(args: argparse.Namespace) -> int:
+    """Thread-parallel trial count (reference hyperparam_tuning.py:64). On a
+    TPU backend trials are serialized regardless of the flag: they share one
+    device queue, so concurrency only pollutes step timings and HBM
+    (CLAUDE.md); on CPU backends n_jobs runs real threads."""
+    n_jobs = getattr(args, "n_jobs", 1) or 1
+    import jax
+
+    if jax.default_backend() != "cpu" and n_jobs != 1:
+        print(
+            f"n_jobs={n_jobs} ignored on {jax.default_backend()}: "
+            "trials share one device queue; running serially"
+        )
+        return 1
+    return n_jobs
+
+
 def _run_trial(
     args: argparse.Namespace,
     data_cfg: DataConfig,
@@ -83,20 +100,38 @@ def run_study(
                 args, data_cfg, weights, mesh, f"trial_{trial.number}"
             )
 
-        study.optimize(objective, n_trials=args.n_trials, n_jobs=1)
+        # thread-parallel trials (reference hyperparam_tuning.py:64)
+        study.optimize(
+            objective, n_trials=args.n_trials, n_jobs=_effective_n_jobs(args)
+        )
         print("Best trial:", study.best_trial.value, study.best_trial.params)
         return dict(study.best_trial.params)
     except ImportError:
         pass
 
-    # built-in fallback: scrambled-Halton-ish quasi-random sweep
+    # built-in fallback: scrambled-Halton-ish quasi-random sweep. Honors
+    # --n_jobs with a thread pool on CPU (same semantics as optuna's n_jobs,
+    # reference hyperparam_tuning.py:64); serialized on TPU — shared device
+    # queue (CLAUDE.md).
     rng = np.random.default_rng(getattr(args, "seed", 11))
-    results: t.List[t.Tuple[float, t.Dict[str, float]]] = []
-    for i in range(args.n_trials):
-        weights = {k: float(rng.uniform(0.0, 1.0)) for k in PARAM_KEYS}
-        score = _run_trial(args, data_cfg, weights, mesh, f"trial_{i}")
-        results.append((score, weights))
-        print(f"trial {i}: {weights} -> {score:.4f}")
+    all_weights = [
+        {k: float(rng.uniform(0.0, 1.0)) for k in PARAM_KEYS}
+        for _ in range(args.n_trials)
+    ]
+    n_jobs = _effective_n_jobs(args)
+
+    def trial(i: int) -> t.Tuple[float, t.Dict[str, float]]:
+        score = _run_trial(args, data_cfg, all_weights[i], mesh, f"trial_{i}")
+        print(f"trial {i}: {all_weights[i]} -> {score:.4f}")
+        return score, all_weights[i]
+
+    if n_jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+            results = list(pool.map(trial, range(args.n_trials)))
+    else:
+        results = [trial(i) for i in range(args.n_trials)]
     best_score, best_weights = max(results, key=lambda r: r[0])
     print(f"Best trial: {best_score:.4f} {best_weights}")
     return best_weights

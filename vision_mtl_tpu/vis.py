@@ -9,7 +9,8 @@ import typing as t
 
 import numpy as np
 
-if os.environ.get("DISPLAY", "") in ("", None) or os.environ.get("DISPLAY") != ":0":
+# headless backend switch (reference training_lit.py:10-13 checks DISPLAY)
+if not os.environ.get("DISPLAY"):
     import matplotlib
 
     matplotlib.use("Agg")
