@@ -35,6 +35,15 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=0, help="0 = auto")
     p.add_argument("--height", type=int, default=128)
     p.add_argument("--width", type=int, default=256)
+    p.add_argument(
+        "--fold_tail", action="store_true",
+        help="space-to-depth folded decoder tail (exact; measured slower "
+        "on v5e — see docs/BENCH_NOTES.md)",
+    )
+    p.add_argument(
+        "--no_merge_heads", dest="merge_heads", action="store_false",
+        help="disable the fused two-head conv (basic model)",
+    )
     args = p.parse_args()
 
     try:
@@ -66,7 +75,10 @@ def main() -> None:
     warmup = 2 if args.quick else 5
 
     model_args = argparse.Namespace(
-        model_name=args.model, channel_wise_stitching=True
+        model_name=args.model,
+        channel_wise_stitching=True,
+        fold_tail=args.fold_tail,
+        merge_heads=args.merge_heads,
     )
     model = build_model(model_args, cityscapes_data_cfg, dtype=jnp.bfloat16)
 

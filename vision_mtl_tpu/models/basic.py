@@ -31,6 +31,7 @@ class Backbone(nn.Module):
 
     decoder_first_channel: int = 256
     num_decoder_layers: int = 5
+    fold_tail: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @property
@@ -41,14 +42,48 @@ class Backbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         feats = MobileNetV3Encoder(dtype=self.dtype, name="encoder")(x, train)
         return UnetDecoder(
-            self.decoder_channels, dtype=self.dtype, name="decoder"
+            self.decoder_channels,
+            fold_tail=self.fold_tail,
+            dtype=self.dtype,
+            name="decoder",
         )(feats, train)
+
+
+class _ConvParamsWrap(nn.Module):
+    """Mirrors the ``Conv`` wrapper's scope level (param-only)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        from vision_mtl_tpu.models.blocks import _ConvParams
+
+        return _ConvParams(self.out_ch, (3, 3), in_ch, True, name="Conv_0")()
+
+
+class _HeadParams(nn.Module):
+    """SegmentationHead's parameters without applying the conv — lets the
+    merged-heads fast path keep checkpoint-identical param placement
+    (``{segm,depth}_head/Conv_0/Conv_0/{kernel,bias}``)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return _ConvParamsWrap(self.out_ch, name="Conv_0")(in_ch)
 
 
 class BasicMTLModel(nn.Module):
     segm_classes: int
     decoder_first_channel: int = 256
     num_decoder_layers: int = 5
+    # run the full-resolution decoder tail + heads in space-to-depth folded
+    # layout (ops/fold.py). EXACT transform but measured SLOWER on v5e
+    # (docs/BENCH_NOTES.md round-2 notes) — kept as an opt-in for other
+    # hardware generations. Param tree identical either way.
+    fold_tail: bool = False
+    # fuse the two 3x3 heads into one conv (exact; measured faster)
+    merge_heads: bool = True
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
@@ -58,18 +93,44 @@ class BasicMTLModel(nn.Module):
         backbone = Backbone(
             decoder_first_channel=self.decoder_first_channel,
             num_decoder_layers=self.num_decoder_layers,
+            fold_tail=self.fold_tail,
             dtype=self.dtype,
             name="backbone",
         )
         decoder_output = backbone(x, train)
-        head_ch = backbone.decoder_channels[-1]
-        del head_ch  # head input channels are inferred from the feature map
+        if self.merge_heads and not self.fold_tail:
+            # one fused conv for both heads: the depth head's single output
+            # channel otherwise pads to a full 128-lane MXU pass of its own
+            # (measured 4.36 -> 3.79 ms fwd at bs128; docs/BENCH_NOTES.md).
+            # Params stay at the reference paths — kernels/biases are
+            # concatenated at trace time, so checkpoints are unchanged.
+            in_ch = decoder_output.shape[-1]
+            sk, sb = _HeadParams(self.segm_classes, name="segm_head")(in_ch)
+            dk, db = _HeadParams(1, name="depth_head")(in_ch)
+            merged = jax.lax.conv_general_dilated(
+                decoder_output.astype(self.dtype),
+                jnp.concatenate([sk, dk], axis=-1).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.concatenate([sb, db]).astype(self.dtype)
+            segm = merged[..., : self.segm_classes]
+            depth = merged[..., self.segm_classes :]
+            return {"segm": segm, "depth": depth}
         segm = SegmentationHead(
-            self.segm_classes, dtype=self.dtype, name="segm_head"
+            self.segm_classes,
+            folded=self.fold_tail,
+            dtype=self.dtype,
+            name="segm_head",
         )(decoder_output)
-        depth = SegmentationHead(1, dtype=self.dtype, name="depth_head")(
-            decoder_output
-        )
+        depth = SegmentationHead(
+            1, folded=self.fold_tail, dtype=self.dtype, name="depth_head"
+        )(decoder_output)
+        if self.fold_tail:
+            from vision_mtl_tpu.ops.fold import depth_to_space
+
+            segm = depth_to_space(segm)
+            depth = depth_to_space(depth)
         # outputs stay in the compute dtype; losses/postprocess upcast
         # per-element (f32 storage here would double logit HBM traffic)
         return {"segm": segm, "depth": depth}

@@ -143,6 +143,131 @@ class ConvBNAct(nn.Module):
         return ACTIVATIONS[self.act](x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder mimicking nn.Conv's param layout (kernel/bias names,
+    shapes, init) without applying the op — used by the folded compute path
+    so fold on/off is checkpoint- and init-identical (same param paths =>
+    same init RNG streams => bitwise-equal initial weights)."""
+
+    features: int
+    kernel_size: t.Tuple[int, int]
+    in_ch: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            torch_conv_kernel_init,
+            (*self.kernel_size, self.in_ch, self.features),
+            jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            fan_in = self.in_ch * self.kernel_size[0] * self.kernel_size[1]
+            bias = self.param(
+                "bias",
+                lambda k, s, d=jnp.float32: torch_conv_bias_init(k, s, d, fan_in),
+                (self.features,),
+            )
+        return kernel, bias
+
+
+class FoldedConv(nn.Module):
+    """Stride-1 conv on a space-to-depth FOLDED input (see ops/fold.py),
+    with parameters at the same paths/shapes as ``Conv`` (nested Conv_0)."""
+
+    features: int
+    kernel_size: t.Tuple[int, int] = (3, 3)
+    in_splits: t.Optional[t.Tuple[int, ...]] = None
+    use_bias: bool = True
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from vision_mtl_tpu.ops.fold import folded_conv
+
+        in_ch = x.shape[-1] // 4
+        kernel, bias = _ConvParams(
+            self.features, self.kernel_size, in_ch, self.use_bias, name="Conv_0"
+        )()
+        return folded_conv(
+            x, kernel, bias, in_splits=self.in_splits, dtype=self.dtype
+        )
+
+
+class _BNParams(nn.Module):
+    """Parameter/stat holder mimicking nn.BatchNorm's layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean", jnp.zeros, (self.features,), jnp.float32
+        )
+        var = self.variable(
+            "batch_stats", "var", jnp.ones, (self.features,), jnp.float32
+        )
+        return scale, bias, mean, var
+
+
+class FoldedBatchNorm(nn.Module):
+    """BatchNorm on a FOLDED tensor with statistics tied across the 4 phases
+    — numerically identical to BatchNorm on the unfolded tensor. Parameters
+    and running stats keep unfolded (C,) shapes at ``BatchNorm``'s paths."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        from vision_mtl_tpu.ops.fold import folded_batch_norm, folded_batch_stats
+
+        c = y.shape[-1] // 4
+        scale, bias, mean_v, var_v = _BNParams(c, name="BatchNorm_0")()
+        if self.use_running_average:
+            m, v = mean_v.value, var_v.value
+        else:
+            m, v = folded_batch_stats(y)
+            if not self.is_initializing():
+                mean_v.value = self.momentum * mean_v.value + (1 - self.momentum) * m
+                var_v.value = self.momentum * var_v.value + (1 - self.momentum) * v
+        return folded_batch_norm(y, m, v, scale, bias, self.epsilon)
+
+
+class FoldedConvBNAct(nn.Module):
+    """conv -> BN -> activation on a folded tensor; param-path-compatible
+    with ``ConvBNAct`` (same Conv_0/BatchNorm_0 children)."""
+
+    features: int
+    kernel_size: t.Tuple[int, int] = (3, 3)
+    in_splits: t.Optional[t.Tuple[int, ...]] = None
+    act: str = "relu"
+    use_bias: bool = False
+    dtype: t.Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = FoldedConv(
+            self.features,
+            self.kernel_size,
+            in_splits=self.in_splits,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="Conv_0",
+        )(x)
+        x = FoldedBatchNorm(use_running_average=not train, name="BatchNorm_0")(x)
+        return ACTIVATIONS[self.act](x)
+
+
 class DoubleConv(nn.Module):
     """(conv3x3 -> BN -> ReLU) * 2 — reference utils/model_utils.py:61-80."""
 

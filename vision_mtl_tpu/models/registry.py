@@ -29,6 +29,10 @@ def build_model(
             segm_classes=data_cfg.num_classes,
             decoder_first_channel=540,
             num_decoder_layers=5,
+            # space-to-depth folded tail (exact transform, ops/fold.py);
+            # measured SLOWER on v5e (BENCH_NOTES round 2) — opt-in only
+            fold_tail=getattr(args, "fold_tail", False),
+            merge_heads=getattr(args, "merge_heads", True),
             dtype=dtype,
         )
     if model_name == "mtan":

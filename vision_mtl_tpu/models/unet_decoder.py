@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vision_mtl_tpu.models.blocks import Conv, ConvBNAct
+from vision_mtl_tpu.models.blocks import (
+    Conv,
+    ConvBNAct,
+    FoldedConv,
+    FoldedConvBNAct,
+)
+from vision_mtl_tpu.ops.fold import tile_for_upsample
 from vision_mtl_tpu.ops.interpolate import upsample_nearest_2x
 
 
@@ -35,6 +41,13 @@ class DecoderBlock(nn.Module):
     # CSNet drives blocks without the in-block upsample/concat (it performs
     # its own pad-concat + stitch before the convs — see models/cross_stitch)
     upsample: bool = True
+    # space-to-depth folded compute (ops/fold.py): takes the UNFOLDED
+    # half-res input, folds via the upsample channel-tile, runs the convs in
+    # folded layout and returns a FOLDED output. Exact transform; used for
+    # the skip-less full-resolution tail where 128-lane channel padding
+    # would otherwise inflate HBM traffic ~4x. Param paths identical to the
+    # unfolded block.
+    fold: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
@@ -44,6 +57,18 @@ class DecoderBlock(nn.Module):
         skip: t.Optional[jax.Array] = None,
         train: bool = False,
     ) -> jax.Array:
+        if self.fold:
+            assert self.upsample and skip is None, "fold supports the tail block"
+            x = tile_for_upsample(x)
+            x = FoldedConvBNAct(
+                self.out_ch, (3, 3), act="relu", dtype=self.dtype,
+                name="ConvBNAct_0",
+            )(x, train)
+            x = FoldedConvBNAct(
+                self.out_ch, (3, 3), act="relu", dtype=self.dtype,
+                name="ConvBNAct_1",
+            )(x, train)
+            return x
         if self.upsample:
             x = upsample_nearest_2x(x)
         if skip is not None:
@@ -55,9 +80,14 @@ class DecoderBlock(nn.Module):
 
 class UnetDecoder(nn.Module):
     """Consumes the encoder pyramid [x, f2, f4, f8, f16, f32] and returns a
-    full-resolution feature map with ``channels[-1]`` channels."""
+    full-resolution feature map with ``channels[-1]`` channels.
+
+    ``fold_tail``: run the final (skip-less, full-resolution) block in
+    space-to-depth folded layout and return a FOLDED map — the caller's
+    heads consume it folded and unfold only the logits (ops/fold.py)."""
 
     channels: t.Sequence[int]
+    fold_tail: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
@@ -70,19 +100,30 @@ class UnetDecoder(nn.Module):
         x = head
         for i, out_ch in enumerate(self.channels):
             skip = skips[i] if i < len(skips) else None
-            x = DecoderBlock(out_ch, dtype=self.dtype, name=f"block_{i}")(
-                x, skip, train
-            )
+            fold = self.fold_tail and i == len(self.channels) - 1 and skip is None
+            x = DecoderBlock(
+                out_ch, fold=fold, dtype=self.dtype, name=f"block_{i}"
+            )(x, skip, train)
         return x
 
 
 class SegmentationHead(nn.Module):
     out_ch: int
     kernel_size: int = 3
+    # consume a FOLDED feature map and emit FOLDED logits (param paths and
+    # shapes identical to the unfolded head)
+    folded: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.folded:
+            return FoldedConv(
+                self.out_ch,
+                (self.kernel_size, self.kernel_size),
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         return Conv(
             self.out_ch,
             (self.kernel_size, self.kernel_size),

@@ -85,6 +85,12 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         help="Host->device batch encoding; default per dataset config.",
     )
     tpu_args.add_argument(
+        "--fold_tail",
+        action="store_true",
+        help="Space-to-depth folded decoder tail (basic model; exact "
+        "transform, ops/fold.py). Measured slower on v5e — off by default",
+    )
+    tpu_args.add_argument(
         "--grad_accum_steps",
         type=int,
         default=1,
