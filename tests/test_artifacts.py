@@ -1,0 +1,85 @@
+"""Comet artifact download path (tracking/artifacts.py) exercised against a
+fake API — the registry starts empty until runs of this framework are
+published, so this pins the retrieval logic (latest-epoch regex, asset
+matching, local caching) without network or credentials."""
+
+import pytest
+
+from vision_mtl_tpu.tracking import artifacts
+
+
+class _FakeExp:
+    id = "exp123"
+
+    def __init__(self, assets):
+        self._assets = assets
+
+    def get_asset_list(self, asset_type="all"):
+        return self._assets
+
+
+class _FakeAPI:
+    def __init__(self, assets):
+        self._assets = assets
+        self.downloads = []
+
+    def get(self, path):
+        return _FakeExp(self._assets)
+
+    def download_experiment_asset(self, exp_id, asset_id, dst):
+        self.downloads.append((exp_id, asset_id, dst))
+        with open(dst, "w") as f:
+            f.write(f"payload:{asset_id}")
+
+
+_ASSETS = [
+    {"fileName": "model_3", "assetId": "a1"},
+    {"fileName": "model_12", "assetId": "a2"},
+    {"fileName": "session_12", "assetId": "a3"},
+    {"fileName": "train_args.yaml", "assetId": "a4"},
+    {"fileName": "notes.txt", "assetId": "a5"},
+]
+
+
+def test_get_latest_ckpt_epoch_regex():
+    api = _FakeAPI(_ASSETS)
+    assert artifacts.get_latest_ckpt_epoch("run", api=api, project_name="p") == 12
+
+
+def test_get_latest_ckpt_epoch_no_ckpts_raises():
+    api = _FakeAPI([{"fileName": "notes.txt", "assetId": "x"}])
+    with pytest.raises(ValueError, match="No checkpoints"):
+        artifacts.get_latest_ckpt_epoch("run", api=api, project_name="p")
+
+
+def test_load_artifacts_downloads_latest(tmp_path):
+    api = _FakeAPI(_ASSETS)
+    out = artifacts.load_artifacts_from_comet(
+        "run",
+        str(tmp_path),
+        session_artifact_name="session_12",
+        project_name="p",
+        api=api,
+    )
+    assert out["checkpoint_path"].endswith("model_12")
+    assert out["args_path"].endswith("train_args.yaml")
+    assert out["session_path"].endswith("session_12")
+    with open(out["checkpoint_path"]) as f:
+        assert f.read() == "payload:a2"
+    # cached: a second call downloads nothing new
+    n = len(api.downloads)
+    out2 = artifacts.load_artifacts_from_comet(
+        "run", str(tmp_path), project_name="p", api=api, epoch=12
+    )
+    assert out2["checkpoint_path"] == out["checkpoint_path"]
+    assert len(api.downloads) == n
+
+
+def test_load_artifacts_missing_asset_is_none(tmp_path, capsys):
+    api = _FakeAPI([{"fileName": "model_1", "assetId": "a1"}])
+    out = artifacts.load_artifacts_from_comet(
+        "run", str(tmp_path), project_name="p", api=api, epoch=1
+    )
+    assert out["checkpoint_path"].endswith("model_1")
+    assert out["args_path"] is None
+    assert "No asset found" in capsys.readouterr().out

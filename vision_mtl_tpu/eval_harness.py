@@ -30,6 +30,17 @@ from vision_mtl_tpu.train.checkpoint import restore_state
 METRIC_ORDER = ["loss", "accuracy", "jaccard_index", "fbeta_score", "mae"]
 
 
+def _load_run_args(ckpt_dir: str) -> t.Dict[str, t.Any]:
+    import os
+
+    from vision_mtl_tpu.train.checkpoint import load_args
+
+    path = os.path.join(ckpt_dir, "train_args.yaml")
+    if not os.path.exists(path):
+        return {}
+    return vars(load_args(path))
+
+
 def evaluate_run(
     model_name: str,
     ckpt_dir: str,
@@ -41,6 +52,16 @@ def evaluate_run(
     precision: str = "bf16",
 ) -> t.Dict[str, float]:
     data_cfg = fetch_data_cfg(dataset_name)
+    # model-config flags come from the run's own train_args.yaml when
+    # present (the reference round-trips args the same way,
+    # pipeline_utils.py:182-204) so a checkpoint always reloads into the
+    # architecture that produced it
+    run_args = _load_run_args(ckpt_dir)
+    channel_wise_stitching = run_args.get(
+        "channel_wise_stitching", channel_wise_stitching
+    )
+    loss_segm_weight = run_args.get("loss_segm_weight", loss_segm_weight)
+    loss_depth_weight = run_args.get("loss_depth_weight", loss_depth_weight)
     args = argparse.Namespace(
         model_name=model_name,
         dataset_name=dataset_name,
