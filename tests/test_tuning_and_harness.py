@@ -89,3 +89,51 @@ def test_build_table_shape_and_rounding():
     ]
     assert df.loc["accuracy", "HS"] == pytest.approx(0.805)
     assert np.all(df.values == np.round(df.values, 3))
+
+
+def test_evaluate_run_reconstructs_model_config(tmp_path, monkeypatch):
+    """evaluate_run must rebuild the architecture from the run's own
+    train_args.yaml (e.g. a csnet trained WITHOUT channel-wise stitching
+    reloads with scalar stitch weights, not (T,T,C))."""
+    import vision_mtl_tpu.eval_harness as eh
+
+    with open(tmp_path / "train_args.yaml", "w") as f:
+        f.write(
+            "args:\n  channel_wise_stitching: false\n"
+            "  loss_segm_weight: 0.25\n  loss_depth_weight: 0.75\n"
+        )
+
+    seen = {}
+
+    def fake_init_model(args, data_cfg):
+        seen["channel_wise_stitching"] = args.channel_wise_stitching
+        return "model", "state"
+
+    def fake_restore(state, ckpt_dir):
+        return state
+
+    class FakeDM:
+        def __init__(self, *a, **k):
+            pass
+
+        def setup(self, stage=None):
+            pass
+
+        def predict_dataloader(self):
+            return []
+
+    def fake_predict(loader, model, state, num_classes, **kw):
+        seen["loss_segm_weight"] = kw["loss_segm_weight"]
+        seen["loss_depth_weight"] = kw["loss_depth_weight"]
+        return [], {"predict/accuracy": 1.0}
+
+    monkeypatch.setattr(eh, "init_model", fake_init_model)
+    monkeypatch.setattr(eh, "restore_state", fake_restore)
+    monkeypatch.setattr(eh, "MTLDataModule", FakeDM)
+    monkeypatch.setattr(eh, "predict", fake_predict)
+
+    out = eh.evaluate_run("csnet", str(tmp_path), "synthetic")
+    assert out == {"accuracy": 1.0}
+    assert seen["channel_wise_stitching"] is False
+    assert seen["loss_segm_weight"] == 0.25
+    assert seen["loss_depth_weight"] == 0.75
