@@ -56,7 +56,7 @@ def make_nyu_tree(root: str, n: int, h: int = 480, w: int = 640) -> None:
             rng.integers(0, 14, size=(h, w)).astype(np.uint8)
         ).save(os.path.join(root, "train_seg13", fn))
         Image.fromarray(
-            rng.integers(0, 99999, size=(h, w)).astype(np.uint16)
+            rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
         ).save(os.path.join(root, "train_depth", fn))
 
 
@@ -75,17 +75,18 @@ def bench_nyu_loader(args) -> None:
             os.path.join(tmp, f"train_{sub}"), os.path.join(tmp, f"test_{sub}")
         )
 
+    import vision_mtl_tpu.data.nyuv2 as nyu_mod
+
     for name, use_native in (("python/PIL", False), ("native C++", True)):
         if use_native and not native.available():
             print("native lib unavailable; skipping")
             continue
         ds = NYUv2(stage="train", data_base_dir=tmp)
-        if not use_native:
-            # hide the native lib so read() falls back to PIL
-            import vision_mtl_tpu.data.native as native_mod
-
-            orig = native_mod.available
-            native_mod.available = lambda: False
+        if use_native:
+            # the dataset prefers PIL when importable (measured faster;
+            # data/nyuv2.py) — hide it so this leg times the native decoder
+            orig_image = nyu_mod.Image
+            nyu_mod.Image = None
         try:
             dl = DataLoader(
                 ds,
@@ -101,8 +102,8 @@ def bench_nyu_loader(args) -> None:
             dt = time.perf_counter() - t0
             print(f"nyu loader[{name:10s}]: {n_img / dt:8.0f} images/sec (host)")
         finally:
-            if not use_native:
-                native_mod.available = orig
+            if use_native:
+                nyu_mod.Image = orig_image
 
 
 def main() -> None:

@@ -114,3 +114,50 @@ def test_vis_functions_render(rng):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+def test_run_pipe_reshuffles_across_epochs(rng):
+    """The loop must reuse ONE train loader so its seeded per-epoch reshuffle
+    advances — a fresh instance per epoch would silently replay the same
+    batch order forever (regression: loop.py round 2)."""
+    nc = 7
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels={"depth": 1, "segm": nc},
+        task_subnets_hidden_channels=8,
+        encoder_first_channel=8,
+        encoder_num_channels=2,
+        dtype=jnp.float32,
+    )
+    dm = MTLDataModule("synthetic", batch_size=4)
+    dm.setup()
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=0.0
+    )
+
+    calls = {"n": 0}
+    orders = []
+    real_factory = dm.train_dataloader
+
+    def counting_factory():
+        calls["n"] += 1
+        dl = real_factory()
+        real_index_batches = dl._index_batches
+
+        def spy():
+            batches = real_index_batches()
+            orders.append(tuple(int(i) for b in batches for i in b))
+            return batches
+
+        dl._index_batches = spy
+        return dl
+
+    dm.train_dataloader = counting_factory
+    args = argparse.Namespace(
+        loss_segm_weight=1.0, loss_depth_weight=1.0, val_epoch_freq=100,
+        save_epoch_freq=100, do_plot_preds=False, do_show_preds=False,
+    )
+    run_pipe(args, model, state, dm, num_epochs=3, num_classes=nc, logger=None)
+    assert calls["n"] == 1, "train loader must be constructed once"
+    assert len(orders) == 3
+    assert orders[0] != orders[1] != orders[2], "epochs must reshuffle"
+    # (drop_last trims a different shuffled tail each epoch, so the kept
+    # index SETS legitimately differ — only the ordering is asserted)

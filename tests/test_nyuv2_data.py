@@ -93,5 +93,7 @@ def test_load_via_native_fallback(nyu_tree, monkeypatch):
     s_nat = ds_nat.load_raw_sample(0)
     for k in ("img", "mask", "depth"):
         np.testing.assert_array_equal(
-            np.asarray(s_pil[k], np.float32), np.asarray(s_nat[k], np.float32)
-        ), k
+            np.asarray(s_pil[k], np.float32),
+            np.asarray(s_nat[k], np.float32),
+            err_msg=k,
+        )

@@ -90,15 +90,19 @@ class BasicMTLModel(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = False
     ) -> t.Dict[str, jax.Array]:
+        # the decoder only folds its last block when that block is skip-less
+        # (UnetDecoder); mirror the condition here so the heads' layout
+        # always matches the feature map they consume (4 encoder skips)
+        fold_tail = self.fold_tail and self.num_decoder_layers > 4
         backbone = Backbone(
             decoder_first_channel=self.decoder_first_channel,
             num_decoder_layers=self.num_decoder_layers,
-            fold_tail=self.fold_tail,
+            fold_tail=fold_tail,
             dtype=self.dtype,
             name="backbone",
         )
         decoder_output = backbone(x, train)
-        if self.merge_heads and not self.fold_tail:
+        if self.merge_heads and not fold_tail:
             # one fused conv for both heads: the depth head's single output
             # channel otherwise pads to a full 128-lane MXU pass of its own
             # (measured 4.36 -> 3.79 ms fwd at bs128; docs/BENCH_NOTES.md).
@@ -119,14 +123,14 @@ class BasicMTLModel(nn.Module):
             return {"segm": segm, "depth": depth}
         segm = SegmentationHead(
             self.segm_classes,
-            folded=self.fold_tail,
+            folded=fold_tail,
             dtype=self.dtype,
             name="segm_head",
         )(decoder_output)
         depth = SegmentationHead(
-            1, folded=self.fold_tail, dtype=self.dtype, name="depth_head"
+            1, folded=fold_tail, dtype=self.dtype, name="depth_head"
         )(decoder_output)
-        if self.fold_tail:
+        if fold_tail:
             from vision_mtl_tpu.ops.fold import depth_to_space
 
             segm = depth_to_space(segm)

@@ -108,13 +108,17 @@ def run_pipe(
         "val": defaultdict(list),
     }
 
+    # ONE loader instance across epochs: its seeded reshuffle advances with
+    # an internal epoch counter (loader.py), so a fresh instance per epoch
+    # would silently train on the same batch order every epoch
+    train_loader = datamodule.train_dataloader()
+    train_loader.epoch = start_epoch  # resume continues the shuffle stream
+
     for epoch in range(start_epoch, num_epochs):
         print(f"### Epoch {epoch + 1}/{num_epochs} ###")
         # ---------------- train ----------------
         mstate = init_metrics(num_classes)
-        for batch in prefetch_to_device(
-            datamodule.train_dataloader(), mesh, size=2
-        ):
+        for batch in prefetch_to_device(train_loader, mesh, size=2):
             state, mstate, losses = train_step(state, batch, mstate)
             if logger is not None and global_step % log_every_n_steps == 0:
                 step_stats = {

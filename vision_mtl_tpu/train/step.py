@@ -100,9 +100,9 @@ def make_train_step(
     activation memory (peak memory scales with the microbatch). BatchNorm
     batch statistics are per-microbatch (ghost-BN semantics); running stats
     chain through the scan. Note the SILog depth loss is nonlinear in the
-    batch (sqrt of pixel-population variance), so the accumulated loss is an
-    upper bound on — not equal to — the full-batch loss; CE is linear and
-    unaffected (docs/QUIRKS.md #12).
+    batch (sqrt of pixel-population variance), so the accumulated loss
+    differs from the full-batch loss — in either direction, see
+    docs/QUIRKS.md #12; CE is linear and unaffected.
     """
 
     def micro(params, batch_stats, batch):

@@ -9,8 +9,10 @@ import typing as t
 
 import numpy as np
 
-# headless backend switch (reference training_lit.py:10-13 checks DISPLAY)
-if not os.environ.get("DISPLAY"):
+# headless backend switch — reference parity: Agg unless DISPLAY is exactly
+# ":0" (reference training_lit.py:10-13), i.e. any remote/forwarded DISPLAY
+# still renders off-screen
+if os.environ.get("DISPLAY", "") != ":0":
     import matplotlib
 
     matplotlib.use("Agg")
