@@ -471,3 +471,77 @@ def test_csnet_forward_matches_torch():
             atol=2e-4,
             err_msg=k,
         )
+
+
+def test_csnet_gradient_parity():
+    """dLoss/dW agreement for CSNet's distinctive leaves: a channel-wise
+    stitch weight (the diagonal einsum's gradient only flows to W[t,t,:]),
+    a decoder conv kernel, and a task head kernel."""
+    rng = np.random.default_rng(17)
+    model = CSNet(
+        task_channels={"depth": 1, "segm": 5},
+        decoder_first_channel=32,
+        channel_wise_stitching=True,
+        dtype=jnp.float32,
+    )
+    x = rng.uniform(size=(1, 64, 96, 3)).astype(np.float32)
+    variables = jax.device_get(
+        model.init(jax.random.key(1), jnp.asarray(x), train=False)
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    sds = [_rand_sd(rng), _rand_sd(rng)]
+    for ti in range(2):
+        enc_p, enc_s = convert_encoder_state_dict(sds[ti])
+        params[f"encoders_{ti}"] = enc_p
+        stats[f"encoders_{ti}"] = enc_s
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p, "batch_stats": stats}, jnp.asarray(x), train=False
+        )
+        return (
+            jnp.sum(out["segm"].astype(jnp.float32) ** 2)
+            + jnp.sum(out["depth"].astype(jnp.float32) ** 2)
+        )
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(params)
+
+    tparams = jax.tree.map(
+        lambda a: torch.tensor(np.asarray(a), requires_grad=True), params
+    )
+    tout = _torch_csnet(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        sds,
+        tparams,
+        stats,
+        ["depth", "segm"],
+    )
+    tloss = sum((v**2).sum() for v in tout.values())
+    tloss.backward()
+    assert float(jloss) == pytest.approx(float(tloss.detach()), rel=1e-4)
+
+    checks = [
+        ("dec stitch 0 weights",
+         jgrads["dec_stitches_0"]["weights"],
+         tparams["dec_stitches_0"]["weights"].grad),
+        ("enc stitch 2 weights",
+         jgrads["enc_stitches_2"]["weights"],
+         tparams["enc_stitches_2"]["weights"].grad),
+        ("decoder conv kernel",
+         jgrads["decoders_0_4"]["ConvBNAct_0"]["Conv_0"]["Conv_0"]["kernel"],
+         tparams["decoders_0_4"]["ConvBNAct_0"]["Conv_0"]["Conv_0"]["kernel"].grad),
+        ("segm head kernel",
+         jgrads["heads_1"]["Conv_0"]["Conv_0"]["kernel"],
+         tparams["heads_1"]["Conv_0"]["Conv_0"]["kernel"].grad),
+    ]
+    for name, jg, tg in checks:
+        assert tg is not None, name
+        np.testing.assert_allclose(
+            np.asarray(jg), tg.detach().numpy(), rtol=5e-3, atol=1e-4,
+            err_msg=name,
+        )
+    # diagonal-only semantics (quirk #1): off-diagonal stitch entries get
+    # ZERO gradient — tasks do not mix through the einsum
+    g = np.asarray(jgrads["enc_stitches_2"]["weights"])
+    assert np.all(g[0, 1] == 0) and np.all(g[1, 0] == 0)
+    assert np.any(g[0, 0] != 0) and np.any(g[1, 1] != 0)
