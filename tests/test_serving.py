@@ -81,3 +81,32 @@ def test_latency_bench_reports(model_state, rng):
     )
     assert stats["p50_ms"] > 0
     assert stats["p99_ms"] >= stats["p50_ms"]
+
+
+def test_meshed_predictor_matches_single_device(rng):
+    """A data+spatial-meshed AOT Predictor must produce identical preds to
+    the unmeshed one (multi-chip batch-parallel serving)."""
+    from vision_mtl_tpu.parallel.mesh import create_mesh
+
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels={"depth": 1, "segm": 5},
+        task_subnets_hidden_channels=8,
+        encoder_first_channel=8,
+        encoder_num_channels=2,
+        dtype=jnp.float32,
+    )
+    imgs = rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.asarray(imgs), lr=1e-3
+    )
+    p0 = Predictor(model, state, batch_size=8, height=32, width=32)
+    mesh = create_mesh("data:4,spatial:2")
+    p1 = Predictor(
+        model, state, batch_size=8, height=32, width=32, mesh=mesh
+    )
+    o0, o1 = p0(imgs), p1(imgs)
+    np.testing.assert_array_equal(o0["segm"], o1["segm"])
+    np.testing.assert_allclose(o0["depth"], o1["depth"], rtol=1e-5, atol=1e-6)
+    # ragged final batch pads under the mesh too
+    o2 = p1(imgs[:3])
+    np.testing.assert_array_equal(o2["segm"], o0["segm"][:3])

@@ -43,7 +43,13 @@ def _predict_fn(model: t.Any):
 
 
 class Predictor:
-    """Fixed-shape AOT-compiled predictor."""
+    """Fixed-shape AOT-compiled predictor.
+
+    With a ``mesh``, the compiled program shards the request batch over the
+    mesh's data (and spatial) axes and replicates the weights — multi-chip
+    batch-parallel serving through the same call surface (GSPMD inserts the
+    conv halo exchanges; outputs come back replicated for host fetch).
+    """
 
     def __init__(
         self,
@@ -54,18 +60,36 @@ class Predictor:
         width: int,
         channels: int = 3,
         dtype: t.Any = jnp.float32,
+        mesh: t.Any = None,
     ):
         self.batch_size = batch_size
         self.shape = (batch_size, height, width, channels)
         self._params = state.params
         self._stats = state.batch_stats
-        fn = jax.jit(_predict_fn(model))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vision_mtl_tpu.parallel.mesh import batch_sharding
+
+            rep = NamedSharding(mesh, P())
+            img_sharding = jax.tree.leaves(
+                batch_sharding(mesh, {"img": np.zeros(self.shape, np.float32)})
+            )[0]
+            self._params = jax.device_put(self._params, rep)
+            self._stats = jax.device_put(self._stats, rep)
+            fn = jax.jit(
+                _predict_fn(model),
+                in_shardings=(rep, rep, img_sharding),
+                out_shardings=rep,
+            )
+        else:
+            fn = jax.jit(_predict_fn(model))
         sample = jax.ShapeDtypeStruct(self.shape, dtype)
         p_shape = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.params
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._params
         )
         s_shape = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.batch_stats
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._stats
         )
         self._compiled = fn.lower(p_shape, s_shape, sample).compile()
 
