@@ -8,7 +8,10 @@ Usage: python examples/dataset_samples.py --dataset_name synthetic \
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -161,3 +161,53 @@ def test_run_pipe_reshuffles_across_epochs(rng):
     assert orders[0] != orders[1] != orders[2], "epochs must reshuffle"
     # (drop_last trims a different shuffled tail each epoch, so the kept
     # index SETS legitimately differ — only the ordering is asserted)
+
+def test_resume_continues_shuffle_stream(rng):
+    """--resume_dir semantics: restarting at start_epoch=k must replay the
+    SAME batch order epoch k of an uninterrupted run would have used (the
+    loader's reshuffle is seeded by seed+epoch)."""
+    nc = 7
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels={"depth": 1, "segm": nc},
+        task_subnets_hidden_channels=8,
+        encoder_first_channel=8,
+        encoder_num_channels=2,
+        dtype=jnp.float32,
+    )
+    args = argparse.Namespace(
+        loss_segm_weight=1.0, loss_depth_weight=1.0, val_epoch_freq=100,
+        save_epoch_freq=100, do_plot_preds=False, do_show_preds=False,
+    )
+
+    def run(start_epoch, num_epochs):
+        dm = MTLDataModule("synthetic", batch_size=4)
+        dm.setup()
+        orders = []
+        real_factory = dm.train_dataloader
+
+        def factory():
+            dl = real_factory()
+            real_ib = dl._index_batches
+
+            def spy():
+                b = real_ib()
+                orders.append(tuple(int(i) for bb in b for i in bb))
+                return b
+
+            dl._index_batches = spy
+            return dl
+
+        dm.train_dataloader = factory
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=0.0
+        )
+        run_pipe(
+            args, model, state, dm, num_epochs=num_epochs, num_classes=nc,
+            logger=None, start_epoch=start_epoch,
+        )
+        return orders
+
+    full = run(0, 3)
+    resumed = run(2, 3)  # resume at epoch 2
+    assert len(full) == 3 and len(resumed) == 1
+    assert resumed[0] == full[2]
