@@ -99,3 +99,34 @@ def test_create_mesh_axes():
     mesh = create_mesh("data:4,spatial:2")
     assert mesh.axis_names == ("data", "spatial")
     assert mesh.shape["data"] == 4 and mesh.shape["spatial"] == 2
+
+
+def test_resize_matches_torch_antialiased_bilinear(rng):
+    """The host-side resize (PIL) must match torch's antialias=True bilinear
+    — the kernel torchvision's Resize applies in the reference NYUv2
+    transform (reference cfg.py:144-155). Measured float-epsilon equal."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from vision_mtl_tpu.cfg import ResizeSpec
+    from vision_mtl_tpu.data.transforms import resize_depth, resize_image
+
+    spec = ResizeSpec(height=64, width=96)
+    img = rng.uniform(size=(120, 160, 3)).astype(np.float32)
+    ours = resize_image(img, spec)
+    ref = F.interpolate(
+        torch.from_numpy(img.transpose(2, 0, 1))[None],
+        size=(64, 96),
+        mode="bilinear",
+        antialias=True,
+        align_corners=False,
+    )[0].numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    d = rng.uniform(0, 10.0, size=(120, 160)).astype(np.float32)
+    ours_d = resize_depth(d, spec, bilinear=True)
+    ref_d = F.interpolate(
+        torch.from_numpy(d)[None, None], size=(64, 96),
+        mode="bilinear", antialias=True,
+    )[0, 0].numpy()
+    np.testing.assert_allclose(ours_d, ref_d, atol=2e-4)  # values in [0,10]
