@@ -69,3 +69,24 @@ def test_pad_to_match_identity(rng):
     np.testing.assert_allclose(
         np.asarray(pad_to_match(jnp.asarray(x), jnp.asarray(x))), x
     )
+
+
+def test_get_segm_preds_masks_invalid(rng):
+    """reference utils/inference_utils.py:5-18: softmax/argmax restricted to
+    a validity mask; invalid pixels -> prob 0 / class -1."""
+    import jax.numpy as jnp
+
+    from vision_mtl_tpu.utils.inference import get_segm_preds
+
+    logits = jnp.asarray(rng.normal(size=(2, 4, 6, 5)).astype(np.float32))
+    valid = jnp.asarray(rng.integers(0, 2, size=(2, 4, 6)).astype(bool))
+    probs, preds = get_segm_preds(valid, logits)
+    v = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(probs).sum(-1)[v], 1.0, rtol=1e-5
+    )
+    assert np.all(np.asarray(probs)[~v] == 0.0)
+    assert np.all(np.asarray(preds)[~v] == -1)
+    np.testing.assert_array_equal(
+        np.asarray(preds)[v], np.asarray(jnp.argmax(logits, -1))[v]
+    )
