@@ -97,3 +97,47 @@ def test_load_via_native_fallback(nyu_tree, monkeypatch):
             np.asarray(s_nat[k], np.float32),
             err_msg=k,
         )
+
+
+def test_extract_machinery_offline(tmp_path):
+    """The download/extract helpers (reference nyuv2.py:199-345) minus the
+    network: tgz unpack, rename-by-split, folder replace, and h5py .mat ->
+    uint16 depth PNG extraction."""
+    import os
+    import tarfile
+
+    import h5py
+    from PIL import Image
+
+    import vision_mtl_tpu.data.nyuv2 as nyu
+
+    # tgz unpack + rename (reference rgb archives name files a_b_0001.png)
+    src = tmp_path / "payload"
+    src.mkdir()
+    for i in (1, 2):
+        Image.fromarray(np.zeros((4, 4), np.uint8)).save(
+            src / f"nyu_rgb_{i:04d}.png"
+        )
+    tgz = tmp_path / "nyu_train_rgb.tgz"
+    with tarfile.open(tgz, "w:gz") as tar:
+        tar.add(src, arcname=".")
+    nyu._unpack(str(tgz))
+    unpacked = tmp_path / "nyu_train_rgb"
+    dst = tmp_path / "train_rgb"
+    nyu._replace_folder(str(unpacked), str(dst))
+    nyu._rename_files(str(dst), lambda x: x.split("_")[2])
+    assert sorted(os.listdir(dst)) == ["0001.png", "0002.png"]
+
+    # .mat depth extraction: train/test split by rgb ids, meters*1e4 uint16,
+    # transposed (the .mat stores W,H)
+    mat = tmp_path / "depths.mat"
+    rng = np.random.default_rng(3)
+    depths = rng.uniform(0, 6.5, size=(2, 6, 5)).astype(np.float32)  # (N,W,H)
+    with h5py.File(mat, "w") as f:
+        f.create_dataset("depths", data=depths)
+    nyu._create_depth_files(str(mat), str(tmp_path), train_ids={"0001"})
+    tr = np.array(Image.open(tmp_path / "train_depth" / "0001.png"))
+    te = np.array(Image.open(tmp_path / "test_depth" / "0002.png"))
+    assert tr.dtype == np.uint16 and tr.shape == (5, 6)
+    np.testing.assert_array_equal(tr, (depths[0] * 1e4).astype(np.uint16).T)
+    np.testing.assert_array_equal(te, (depths[1] * 1e4).astype(np.uint16).T)
