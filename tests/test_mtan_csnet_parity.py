@@ -322,7 +322,6 @@ def _torch_encoder_stages(x, sd):
     output and a per-stage closure (real block semantics: residual adds and
     pooled SE — the deliberate re-architecture of the reference's leaf-module
     walk, docs/QUIRKS.md)."""
-    from vision_mtl_tpu.models.blocks import make_divisible  # noqa: F401
     from vision_mtl_tpu.models.mobilenetv3 import MOBILENETV3_LARGE_SPECS
 
     T = lambda k: torch.from_numpy(sd[k])  # noqa: E731

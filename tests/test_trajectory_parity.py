@@ -180,9 +180,7 @@ def test_training_trajectories_match():
     params["backbone"]["encoder"] = enc_p
     stats = jax.device_get(state.batch_stats)
     stats["backbone"]["encoder"] = enc_s
-    state = create_train_state(
-        model, jax.random.key(0), jnp.asarray(batches_np[0][0]), lr=LR
-    ).replace(params=params, batch_stats=stats)
+    state = state.replace(params=params, batch_stats=stats)
 
     step = make_train_step(model, donate=False)
     jbatches = [
