@@ -40,12 +40,19 @@ def cross_entropy_loss(
         mean is taken over valid samples only, so a padded final eval batch
         reproduces the reference's smaller-last-batch mean exactly.
     """
-    # logsumexp - gathered logit: avoids materializing the full (B,H,W,C)
+    # logsumexp - selected logit: avoids materializing the full (B,H,W,C)
     # log-softmax tensor (multi-GB of HBM traffic at scale); per-element
-    # math is f32 regardless of (possibly bf16) logit storage
+    # math is f32 regardless of (possibly bf16) logit storage.
+    # The label logit is selected via an exact one-hot multiply-reduce, NOT
+    # take_along_axis: XLA lowers that gather pathologically on TPU (~65 ms
+    # per train step at bs128 128x256 — measured, docs/BENCH_NOTES.md round-2
+    # "the CE gather"), while the one-hot form is a lane-local elementwise op
+    # whose backward is also elementwise (no scatter). one_hot values are
+    # exact {0,1} floats, so picked is bit-identical to the gather.
     logits = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    sel = jax.nn.one_hot(labels, logits.shape[-1], dtype=jnp.float32)
+    picked = jnp.sum(logits * sel, axis=-1)
     nll = lse - picked
     if valid is None:
         return jnp.mean(nll)
