@@ -87,38 +87,46 @@ bool parse_npy_header(FILE* f, NpyInfo* info) {
   return true;
 }
 
-// Read a full npy file into float32 (converting from its stored dtype).
-bool read_npy_f32(const char* path, std::vector<float>* out,
-                  std::vector<int64_t>* shape) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
+// An npy file opened + header-validated, positioned at the data payload.
+struct OpenNpy {
+  FILE* f = nullptr;
   NpyInfo info;
-  if (!parse_npy_header(f, &info) || info.fortran) {
-    fclose(f);
-    return false;
+  int64_t n = 0;  // total element count
+  ~OpenNpy() {
+    if (f) fclose(f);
   }
-  // Validate untrusted header values before allocating: every dim positive,
-  // and n * itemsize within a sane cap (2 GiB) without overflow.
+};
+
+// Open + parse + validate untrusted header values (every dim positive, total
+// bytes within a 2 GiB cap without overflow) and seek to the payload.
+bool open_npy(const char* path, OpenNpy* o) {
+  o->f = fopen(path, "rb");
+  if (!o->f) return false;
+  if (!parse_npy_header(o->f, &o->info) || o->info.fortran) return false;
   int64_t n = 1;
   const int64_t kMaxBytes = int64_t(2) << 30;
-  for (int64_t d : info.shape) {
-    if (d <= 0 || n > kMaxBytes / d) {
-      fclose(f);
-      return false;
-    }
+  for (int64_t d : o->info.shape) {
+    if (d <= 0 || n > kMaxBytes / d) return false;
     n *= d;
   }
-  if (info.itemsize <= 0 || n > kMaxBytes / info.itemsize) {
-    fclose(f);
-    return false;
-  }
-  std::vector<unsigned char> raw(n * info.itemsize);
-  if (fseek(f, (long)info.data_offset, SEEK_SET) != 0 ||
-      fread(raw.data(), info.itemsize, n, f) != (size_t)n) {
-    fclose(f);
-    return false;
-  }
-  fclose(f);
+  if (o->info.itemsize <= 0 || n > kMaxBytes / o->info.itemsize) return false;
+  if (fseek(o->f, (long)o->info.data_offset, SEEK_SET) != 0) return false;
+  o->n = n;
+  return true;
+}
+
+// Read the payload of an opened npy into float32 (converting from its
+// stored dtype). `raw_scratch` is a caller-provided reusable staging buffer
+// (the batch loader calls this per sample per worker; reallocating MBs per
+// call costs real page-fault time at loader rates).
+bool read_open_npy_f32(OpenNpy& o, std::vector<float>* out,
+                       std::vector<int64_t>* shape,
+                       std::vector<unsigned char>* raw_scratch) {
+  const NpyInfo& info = o.info;
+  const int64_t n = o.n;
+  std::vector<unsigned char>& raw = *raw_scratch;
+  if ((int64_t)raw.size() < n * info.itemsize) raw.resize(n * info.itemsize);
+  if (fread(raw.data(), info.itemsize, n, o.f) != (size_t)n) return false;
   out->resize(n);
   float* dst = out->data();
   const unsigned char* src = raw.data();
@@ -146,6 +154,14 @@ bool read_npy_f32(const char* path, std::vector<float>* out,
   }
   *shape = info.shape;
   return true;
+}
+
+bool read_npy_f32(const char* path, std::vector<float>* out,
+                  std::vector<int64_t>* shape) {
+  std::vector<unsigned char> raw;
+  OpenNpy o;
+  if (!open_npy(path, &o)) return false;
+  return read_open_npy_f32(o, out, shape, &raw);
 }
 
 // Bilinear resize one channel plane (half-pixel centers, matches
@@ -231,48 +247,117 @@ int fastload_load_batch(const char** img_paths, const char** mask_paths,
   std::atomic<int> next(0);
   if (num_threads < 1) num_threads = 1;
 
+  const float inv = depth_div != 0.0f ? 1.0f / depth_div : 1.0f;
+
   auto worker = [&]() {
+    // per-worker reusable scratch (reallocating MBs per sample costs real
+    // page-fault time at loader rates)
+    std::vector<float> img, mask, depth, plane, rplane, rmask, rdepth;
+    std::vector<unsigned char> raw;
+    std::vector<int64_t> is, ms, ds;
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= batch || failed.load()) return;
-      std::vector<float> img, mask, depth;
-      std::vector<int64_t> is, ms, ds;
-      if (!read_npy_f32(img_paths[i], &img, &is) ||
-          !read_npy_f32(mask_paths[i], &mask, &ms) ||
-          !read_npy_f32(depth_paths[i], &depth, &ds)) {
-        failed.store(i + 1);
-        return;
-      }
-      // image: HWC or CHW? cityscapes kaggle npys are HWC float
-      if (is.size() != 3 || is[2] != 3 || ms.size() != 2 || ds.size() < 2) {
-        failed.store(i + 1);
-        return;
-      }
-      int h = (int)is[0], w = (int)is[1];
-      // deinterleave HWC -> planes, resize, reinterleave
-      std::vector<float> plane(h * w), rplane(oh * ow);
-      for (int c = 0; c < 3; c++) {
-        for (int p = 0; p < h * w; p++) plane[p] = img[p * 3 + c];
-        resize_bilinear(plane.data(), h, w, rplane.data(), oh, ow);
-        float* out = imgs + (size_t)i * oh * ow * 3;
-        for (int p = 0; p < oh * ow; p++) out[p * 3 + c] = rplane[p];
-      }
-      // mask: nearest + remap
-      int mh = (int)ms[0], mw = (int)ms[1];
-      std::vector<float> rmask(oh * ow);
-      resize_nearest(mask.data(), mh, mw, rmask.data(), oh, ow);
+      float* iout = imgs + (size_t)i * oh * ow * 3;
       int32_t* mout = masks + (size_t)i * oh * ow;
-      for (int p = 0; p < oh * ow; p++) {
-        int v = (int)rmask[p];
-        mout[p] = (v == ignore_value) ? remap_to : v;
-      }
-      // depth: nearest + scale
-      int dh = (int)ds[0], dw = (int)ds[1];
-      std::vector<float> rdepth(oh * ow);
-      resize_nearest(depth.data(), dh, dw, rdepth.data(), oh, ow);
       float* dout = depths + (size_t)i * oh * ow;
-      float inv = depth_div != 0.0f ? 1.0f / depth_div : 1.0f;
-      for (int p = 0; p < oh * ow; p++) dout[p] = rdepth[p] * inv;
+
+      // --- image: HWC float (cityscapes kaggle npys). Fast path when the
+      // file is already f32 at the output size: fread straight into the
+      // batch slot — no staging copy, no plane deinterleave round trip.
+      {
+        OpenNpy o;
+        if (!open_npy(img_paths[i], &o) || o.info.shape.size() != 3 ||
+            o.info.shape[2] != 3) {
+          failed.store(i + 1);
+          return;
+        }
+        int h = (int)o.info.shape[0], w = (int)o.info.shape[1];
+        if (h == oh && w == ow && o.info.dtype_kind == 'f' &&
+            o.info.itemsize == 4) {
+          if (fread(iout, 4, o.n, o.f) != (size_t)o.n) {
+            failed.store(i + 1);
+            return;
+          }
+        } else {
+          // generic: decode to f32, deinterleave -> resize -> reinterleave
+          if (!read_open_npy_f32(o, &img, &is, &raw)) {
+            failed.store(i + 1);
+            return;
+          }
+          plane.resize((size_t)h * w);
+          rplane.resize((size_t)oh * ow);
+          for (int c = 0; c < 3; c++) {
+            for (int p = 0; p < h * w; p++) plane[p] = img[p * 3 + c];
+            resize_bilinear(plane.data(), h, w, rplane.data(), oh, ow);
+            for (int p = 0; p < oh * ow; p++) iout[p * 3 + c] = rplane[p];
+          }
+        }
+      }
+
+      // --- mask: nearest + ignore remap. Fast path for a size-matched int64
+      // file (np.save of a long mask): one fused int64 -> remapped int32
+      // pass, skipping the float round trip entirely.
+      {
+        OpenNpy o;
+        if (!open_npy(mask_paths[i], &o) || o.info.shape.size() != 2) {
+          failed.store(i + 1);
+          return;
+        }
+        int mh = (int)o.info.shape[0], mw = (int)o.info.shape[1];
+        if (mh == oh && mw == ow && o.info.dtype_kind == 'i' &&
+            o.info.itemsize == 8) {
+          if ((int64_t)raw.size() < o.n * 8) raw.resize(o.n * 8);
+          if (fread(raw.data(), 8, o.n, o.f) != (size_t)o.n) {
+            failed.store(i + 1);
+            return;
+          }
+          const int64_t* s = reinterpret_cast<const int64_t*>(raw.data());
+          for (int64_t p = 0; p < o.n; p++) {
+            int32_t v = (int32_t)s[p];
+            mout[p] = (v == ignore_value) ? remap_to : v;
+          }
+        } else {
+          if (!read_open_npy_f32(o, &mask, &ms, &raw)) {
+            failed.store(i + 1);
+            return;
+          }
+          rmask.resize((size_t)oh * ow);
+          resize_nearest(mask.data(), mh, mw, rmask.data(), oh, ow);
+          for (int p = 0; p < oh * ow; p++) {
+            int v = (int)rmask[p];
+            mout[p] = (v == ignore_value) ? remap_to : v;
+          }
+        }
+      }
+
+      // --- depth: nearest + scale. Fast path for size-matched f32: fread
+      // into the batch slot, scale in place.
+      {
+        OpenNpy o;
+        if (!open_npy(depth_paths[i], &o) || o.info.shape.size() < 2) {
+          failed.store(i + 1);
+          return;
+        }
+        int dh = (int)o.info.shape[0], dw = (int)o.info.shape[1];
+        if (dh == oh && dw == ow && o.info.shape.size() == 2 &&
+            o.info.dtype_kind == 'f' && o.info.itemsize == 4) {
+          if (fread(dout, 4, o.n, o.f) != (size_t)o.n) {
+            failed.store(i + 1);
+            return;
+          }
+          if (inv != 1.0f)
+            for (int64_t p = 0; p < o.n; p++) dout[p] *= inv;
+        } else {
+          if (!read_open_npy_f32(o, &depth, &ds, &raw)) {
+            failed.store(i + 1);
+            return;
+          }
+          rdepth.resize((size_t)oh * ow);
+          resize_nearest(depth.data(), dh, dw, rdepth.data(), oh, ow);
+          for (int p = 0; p < oh * ow; p++) dout[p] = rdepth[p] * inv;
+        }
+      }
     }
   };
 

@@ -63,9 +63,12 @@ def test_load_cityscapes_batch(tmp_path, rng):
 
 
 def test_identity_resize_exact(tmp_path, rng):
+    # size-matched f32 img / int64 mask / f32 depth hit the direct-fread fast
+    # paths; remap and depth scaling must still be fused in exactly
     h, w = 8, 10
     img = rng.uniform(size=(h, w, 3)).astype(np.float32)
-    mask = rng.integers(0, 5, size=(h, w)).astype(np.int64)
+    mask = rng.integers(-1, 5, size=(h, w)).astype(np.int64)
+    mask[0, 0] = -1
     depth = rng.uniform(size=(h, w)).astype(np.float32)
     paths = {}
     for name, arr in (("img", img), ("mask", mask), ("depth", depth)):
@@ -73,10 +76,15 @@ def test_identity_resize_exact(tmp_path, rng):
         np.save(p, arr)
         paths[name] = str(p)
     batch = native.load_cityscapes_batch(
-        [paths["img"]], [paths["mask"]], [paths["depth"]], h, w
+        [paths["img"]], [paths["mask"]], [paths["depth"]], h, w, depth_div=2.0
     )
     np.testing.assert_allclose(batch["img"][0], img, rtol=1e-6)
-    np.testing.assert_array_equal(batch["mask"][0], mask)
+    ref_mask = mask.astype(np.int32)
+    ref_mask[ref_mask == -1] = 18
+    np.testing.assert_array_equal(batch["mask"][0], ref_mask)
+    np.testing.assert_allclose(
+        batch["depth"][0, ..., 0], depth / 2.0, rtol=1e-6
+    )
 
 
 def test_missing_file_reports_index(tmp_path, rng):
