@@ -33,9 +33,30 @@ def _setup_compile_cache() -> None:
         pass
 
 
+def _select_backend(device: str) -> None:
+    """Honor --device (reference utils/utils.py:19 selects cuda/cpu; here it
+    selects the jax platform). ``cpu[:N]`` forces the host backend with N
+    virtual devices (default 1) — needed because a site hook may pin a
+    remote-TPU platform at startup, so env vars alone are ignored."""
+    if not device or not device.startswith("cpu"):
+        return  # default backend (tpu if attached)
+    n = int(device.split(":", 1)[1]) if ":" in device else 1
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+    jax.config.update("jax_num_cpu_devices", n)
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     cfg.update_fields_with_args(args)
+    _select_backend(args.device)
     _setup_compile_cache()
 
     data_cfg = fetch_data_cfg(args.dataset_name)

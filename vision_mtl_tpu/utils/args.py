@@ -25,7 +25,12 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         "scheduler and epoch from this run dir and continue training.",
     )
     pipe_args.add_argument("--run_name")
-    pipe_args.add_argument("--device", default="tpu")
+    pipe_args.add_argument(
+        "--device",
+        default="tpu",
+        help="'tpu' (default backend) or 'cpu[:N]' to force the host "
+        "backend with N virtual devices (reference utils.py:19 equivalent).",
+    )
     pipe_args.add_argument("--exp_tags", nargs="*", default=[])
 
     model_args = parser.add_argument_group("model")
