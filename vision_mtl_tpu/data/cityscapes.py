@@ -19,22 +19,33 @@ from vision_mtl_tpu.data.base import MTLDataset, Sample
 from vision_mtl_tpu.data.transforms import resize_depth, resize_image, resize_mask
 
 
+_UNSET = object()  # distinguishes "use cfg transform" from explicit None
+
+
 class CityscapesDataset(MTLDataset):
     benchmark_idxs: t.List[int] = [955, 2279, 1878, 2325]
 
     def __init__(
         self,
         stage: str,
-        data_base_dir: str = data_cfg.data_dir,
-        transforms: t.Any = data_cfg.train_transform,
-        max_depth: float = data_cfg.max_depth,
+        data_base_dir: t.Optional[str] = None,
+        transforms: t.Any = _UNSET,
+        max_depth: t.Optional[float] = None,
     ):
+        # config fields resolve at call time (not import time) so edits to
+        # the cfg singleton — e.g. a CLI-pointed data dir — take effect
         super().__init__(
             stage=stage,
-            data_base_dir=data_base_dir,
-            max_depth=max_depth,
-            train_transform=transforms,
-            test_transform=transforms,
+            data_base_dir=data_base_dir
+            if data_base_dir is not None
+            else data_cfg.data_dir,
+            max_depth=max_depth if max_depth is not None else data_cfg.max_depth,
+            train_transform=data_cfg.train_transform
+            if transforms is _UNSET
+            else transforms,
+            test_transform=data_cfg.train_transform
+            if transforms is _UNSET
+            else transforms,
         )
         self.paths = self.parse_paths()
 

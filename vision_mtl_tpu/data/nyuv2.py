@@ -35,25 +35,36 @@ from vision_mtl_tpu.data.base import MTLDataset, Sample
 from vision_mtl_tpu.data.transforms import resize_depth, resize_image, resize_mask
 
 
+_UNSET = object()  # distinguishes "use cfg transform" from explicit None
+
+
 class NYUv2(MTLDataset):
     benchmark_idxs: t.List[int] = [647, 584, 169, 768]
 
     def __init__(
         self,
         stage: str = "train",
-        data_base_dir: str = data_cfg.data_dir,
+        data_base_dir: t.Optional[str] = None,
         download: bool = False,
         use_sn: bool = False,
-        transforms: t.Any = data_cfg.train_transform,
-        max_depth: float = data_cfg.max_depth,
+        transforms: t.Any = _UNSET,
+        max_depth: t.Optional[float] = None,
     ):
         assert stage in ("train", "test"), "stage must be either train or test"
+        # config fields resolve at call time (not import time) so edits to
+        # the cfg singleton — e.g. a CLI-pointed data dir — take effect
+        if data_base_dir is None:
+            data_base_dir = data_cfg.data_dir
         super().__init__(
             stage=stage,
             data_base_dir=data_base_dir,
-            max_depth=max_depth,
-            train_transform=transforms,
-            test_transform=transforms,
+            max_depth=max_depth if max_depth is not None else data_cfg.max_depth,
+            train_transform=data_cfg.train_transform
+            if transforms is _UNSET
+            else transforms,
+            test_transform=data_cfg.train_transform
+            if transforms is _UNSET
+            else transforms,
         )
         self.use_sn = use_sn
 

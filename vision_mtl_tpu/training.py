@@ -60,6 +60,8 @@ def main(argv=None) -> None:
     _setup_compile_cache()
 
     data_cfg = fetch_data_cfg(args.dataset_name)
+    if getattr(args, "data_dir", None):
+        data_cfg.data_dir = args.data_dir
 
     mesh = create_mesh(args.mesh_shape) if len(jax.devices()) > 1 else None
     if mesh is not None:

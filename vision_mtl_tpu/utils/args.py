@@ -48,6 +48,12 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
     )
     data_args.add_argument("--batch_size", type=int, default=1)
     data_args.add_argument("--num_workers", type=int, default=0)
+    data_args.add_argument(
+        "--data_dir",
+        default=None,
+        help="Override the dataset's data directory (default: the config "
+        "singleton's path under vision_mtl_tpu/data/).",
+    )
 
     optuna_args = parser.add_argument_group("opt")
     optuna_args.add_argument("--n_trials", type=int, default=7)
