@@ -49,7 +49,18 @@ def _convt_w(kernel):
     return _t(kernel).flip(0, 1).permute(2, 3, 0, 1)
 
 
+# module switch: the trajectory test (test_mtan_trajectory.py) flips this to
+# run the twin with train-mode BN (batch statistics, matching the flax train
+# step's use_running_average=False); the forward/grad parity tests here use
+# eval-mode BN against randomized running stats.
+BN_TRAIN = False
+
+
 def _bn_eval(x, p, s):
+    if BN_TRAIN:
+        return F.batch_norm(
+            x, None, None, _t(p["scale"]), _t(p["bias"]), True, 0.1, 1e-5
+        )
     return F.batch_norm(
         x, _t(s["mean"]), _t(s["var"]), _t(p["scale"]), _t(p["bias"]),
         False, 0.1, 1e-5,
@@ -115,19 +126,21 @@ def _randomize_bn(variables, rng):
 def _gate(x, shared, p, s):
     """GateChain: conv1x1-BN-ReLU -> conv1x1-BN-sigmoid gate * shared
     (reference mtan_model.py:31-43 enc / 105-117 dec)."""
+    def bn(z, i):
+        if BN_TRAIN:
+            return F.batch_norm(
+                z, None, None, _t(p[f"scale{i}"]), _t(p[f"bias{i}"]),
+                True, 0.1, 1e-5,
+            )
+        return F.batch_norm(
+            z, _t(s[f"mean{i}"]), _t(s[f"var{i}"]),
+            _t(p[f"scale{i}"]), _t(p[f"bias{i}"]), False, 0.1, 1e-5,
+        )
+
     w1 = _t(p["w1"]).T[:, :, None, None]
-    h = F.conv2d(x, w1, _t(p["b1"]))
-    h = F.batch_norm(
-        h, _t(s["mean1"]), _t(s["var1"]), _t(p["scale1"]), _t(p["bias1"]),
-        False, 0.1, 1e-5,
-    )
-    h = F.relu(h)
+    h = F.relu(bn(F.conv2d(x, w1, _t(p["b1"])), 1))
     w2 = _t(p["w2"]).T[:, :, None, None]
-    a = F.conv2d(h, w2, _t(p["b2"]))
-    a = F.batch_norm(
-        a, _t(s["mean2"]), _t(s["var2"]), _t(p["scale2"]), _t(p["bias2"]),
-        False, 0.1, 1e-5,
-    )
+    a = bn(F.conv2d(h, w2, _t(p["b2"])), 2)
     return shared * torch.sigmoid(a)
 
 
@@ -163,9 +176,19 @@ def _attn_dec(merged, prev, conv_out, p, s):
     return F.relu(g)
 
 
+class _NullStats(dict):
+    """Indexable stand-in for the running-stats tree when BN_TRAIN is on
+    (train-mode BN never reads running stats)."""
+
+    def __getitem__(self, k):
+        return self
+
+
 def _torch_mtan(x, params, stats, n_levels, task_names):
     """reference MTANMiniUnet.forward (mtan_model.py:378-404): MTANDown with
     apply_pool=False + top-level pool, bottleneck, MTANUp with pad-concat."""
+    if stats is None:
+        stats = _NullStats()
     shared = x
     streams = {t: None for t in task_names}
     feats = []
