@@ -347,9 +347,14 @@ def _torch_encoder_stages(x, sd):
     walk, docs/QUIRKS.md)."""
     from vision_mtl_tpu.models.mobilenetv3 import MOBILENETV3_LARGE_SPECS
 
-    T = lambda k: torch.from_numpy(sd[k])  # noqa: E731
+    T = lambda k: _t(sd[k])  # noqa: E731
 
     def bn(z, p):
+        if BN_TRAIN:
+            return F.batch_norm(
+                z, None, None, T(f"{p}.weight"), T(f"{p}.bias"),
+                True, 0.1, 1e-5,
+            )
         return F.batch_norm(
             z, T(f"{p}.running_mean"), T(f"{p}.running_var"),
             T(f"{p}.weight"), T(f"{p}.bias"), False, 0.1, 1e-5,
@@ -409,6 +414,8 @@ def _torch_csnet(x, sds, params, stats, task_names, dec_layers=5):
         NUM_STAGES,
     )
 
+    if stats is None:
+        stats = _NullStats()
     n = len(task_names)
     encs = [_torch_encoder_stages(x, sds[ti]) for ti in range(n)]
     feats = [encs[ti][0](x) for ti in range(n)]
