@@ -244,3 +244,43 @@ def test_small_conv_pallas_fallback_matches(rng):
     gx0 = jax.grad(lambda x: jnp.sum(ref(x, k, b) ** 2))(x)
     gx1 = jax.grad(lambda x: jnp.sum(conv3x3_small(x, k, b) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), rtol=1e-4, atol=1e-5)
+
+
+def test_basic_model_remat_tail_parity(rng):
+    """remat_tail (memory-saving opt-in, measured slower on v5e — BENCH_NOTES
+    'remat of the decoder tail') must be bit-transparent: identical param
+    tree, identical outputs, identical gradients."""
+    from vision_mtl_tpu.models.basic import BasicMTLModel
+
+    x = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)).astype(np.float32))
+    m0 = BasicMTLModel(segm_classes=5, decoder_first_channel=16, dtype=jnp.float32)
+    m1 = BasicMTLModel(
+        segm_classes=5, decoder_first_channel=16, remat_tail=2, dtype=jnp.float32
+    )
+    v0 = m0.init(jax.random.key(3), x, train=False)
+    v1 = m1.init(jax.random.key(3), x, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    o0 = m0.apply(v0, x, train=False)
+    o1 = m1.apply(v0, x, train=False)
+    for k in ("segm", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(o0[k]), np.asarray(o1[k]), rtol=1e-6, atol=1e-7, err_msg=k
+        )
+
+    def loss(m, v):
+        def f(params):
+            out = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=False,
+            )
+            return jnp.sum(out["segm"] ** 2) + jnp.sum(out["depth"] ** 2)
+        return jax.grad(f)(v["params"])
+
+    g0, g1 = loss(m0, v0), loss(m1, v0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

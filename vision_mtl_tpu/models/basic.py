@@ -32,6 +32,7 @@ class Backbone(nn.Module):
     decoder_first_channel: int = 256
     num_decoder_layers: int = 5
     fold_tail: bool = False
+    remat_tail: int = 0
     dtype: t.Any = jnp.bfloat16
 
     @property
@@ -44,6 +45,7 @@ class Backbone(nn.Module):
         return UnetDecoder(
             self.decoder_channels,
             fold_tail=self.fold_tail,
+            remat_tail=self.remat_tail,
             dtype=self.dtype,
             name="decoder",
         )(feats, train)
@@ -82,6 +84,8 @@ class BasicMTLModel(nn.Module):
     # (docs/BENCH_NOTES.md round-2 notes) — kept as an opt-in for other
     # hardware generations. Param tree identical either way.
     fold_tail: bool = False
+    # remat the final N decoder blocks (see UnetDecoder.remat_tail)
+    remat_tail: int = 0
     # fuse the two 3x3 heads into one conv (exact; measured faster)
     merge_heads: bool = True
     dtype: t.Any = jnp.bfloat16
@@ -98,6 +102,7 @@ class BasicMTLModel(nn.Module):
             decoder_first_channel=self.decoder_first_channel,
             num_decoder_layers=self.num_decoder_layers,
             fold_tail=fold_tail,
+            remat_tail=self.remat_tail,
             dtype=self.dtype,
             name="backbone",
         )

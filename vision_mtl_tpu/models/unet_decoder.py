@@ -88,6 +88,11 @@ class UnetDecoder(nn.Module):
 
     channels: t.Sequence[int]
     fold_tail: bool = False
+    # remat the final N decoder blocks (jax.checkpoint): their full-res
+    # activations are recomputed in the backward instead of round-tripping
+    # HBM — an opt-in HBM-traffic experiment like fold_tail (param tree
+    # identical; see docs/BENCH_NOTES.md for the measurement)
+    remat_tail: int = 0
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
@@ -101,7 +106,11 @@ class UnetDecoder(nn.Module):
         for i, out_ch in enumerate(self.channels):
             skip = skips[i] if i < len(skips) else None
             fold = self.fold_tail and i == len(self.channels) - 1 and skip is None
-            x = DecoderBlock(
+            block_cls = DecoderBlock
+            if i >= len(self.channels) - self.remat_tail:
+                # static_argnums: 0=self(module), 3=train
+                block_cls = nn.remat(DecoderBlock, static_argnums=(3,))
+            x = block_cls(
                 out_ch, fold=fold, dtype=self.dtype, name=f"block_{i}"
             )(x, skip, train)
         return x
