@@ -32,6 +32,9 @@ def build_model(
             # space-to-depth folded tail (exact transform, ops/fold.py);
             # measured SLOWER on v5e (BENCH_NOTES round 2) — opt-in only
             fold_tail=getattr(args, "fold_tail", False),
+            # memory-saving remat of the final N decoder blocks (measured
+            # slower on v5e — BENCH_NOTES; for configs that would OOM)
+            remat_tail=getattr(args, "remat_tail", 0),
             merge_heads=getattr(args, "merge_heads", True),
             dtype=dtype,
         )

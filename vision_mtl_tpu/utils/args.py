@@ -102,6 +102,14 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         "transform, ops/fold.py). Measured slower on v5e — off by default",
     )
     tpu_args.add_argument(
+        "--remat_tail",
+        type=int,
+        default=0,
+        help="Rematerialize the final N decoder blocks (basic model) to "
+        "save activation memory. Measured slower on v5e — for configs "
+        "that would otherwise OOM.",
+    )
+    tpu_args.add_argument(
         "--grad_accum_steps",
         type=int,
         default=1,
