@@ -63,11 +63,8 @@ def test_csnet_training_trajectories_match():
         enc_p, enc_s = convert_encoder_state_dict(sds_np[ti])
         params[f"encoders_{ti}"] = enc_p
         stats[f"encoders_{ti}"] = enc_s
+    # grafted encoders keep the init shapes, so the existing Adam state fits
     state = state.replace(params=params, batch_stats=stats)
-    # re-create optimizer state for the grafted param shapes
-    state = create_train_state(
-        model, jax.random.key(0), jnp.asarray(batches_np[0][0]), lr=LR
-    ).replace(params=params, batch_stats=stats)
 
     step = make_train_step(model, donate=False)
     jbatches = [

@@ -248,8 +248,9 @@ def test_small_conv_pallas_fallback_matches(rng):
 
 def test_basic_model_remat_tail_parity(rng):
     """remat_tail (memory-saving opt-in, measured slower on v5e — BENCH_NOTES
-    'remat of the decoder tail') must be bit-transparent: identical param
-    tree, identical outputs, identical gradients."""
+    'remat of the decoder tail') must be transparent: identical param tree,
+    bit-identical eval forward, and train gradients/BN-stat updates equal up
+    to recompute reassociation rounding."""
     from vision_mtl_tpu.models.basic import BasicMTLModel
 
     x = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)).astype(np.float32))
@@ -270,17 +271,29 @@ def test_basic_model_remat_tail_parity(rng):
             np.asarray(o0[k]), np.asarray(o1[k]), rtol=1e-6, atol=1e-7, err_msg=k
         )
 
+    # train mode — the advertised use case: remat must thread the mutable
+    # batch_stats updates and gradients. Gradients through the recompute are
+    # mathematically identical but numerically reassociated (XLA fuses the
+    # rematerialized forward differently), so this leg uses an fp32-rounding
+    # tolerance rather than exact equality.
     def loss(m, v):
         def f(params):
-            out = m.apply(
+            out, mut = m.apply(
                 {"params": params, "batch_stats": v["batch_stats"]},
-                x, train=False,
+                x, train=True, mutable=["batch_stats"],
             )
-            return jnp.sum(out["segm"] ** 2) + jnp.sum(out["depth"] ** 2)
-        return jax.grad(f)(v["params"])
+            return (
+                jnp.sum(out["segm"] ** 2) + jnp.sum(out["depth"] ** 2),
+                mut["batch_stats"],
+            )
+        return jax.grad(f, has_aux=True)(v["params"])
 
-    g0, g1 = loss(m0, v0), loss(m1, v0)
+    (g0, bs0), (g1, bs1) = loss(m0, v0), loss(m1, v0)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5
+        )
+    for a, b in zip(jax.tree.leaves(bs0), jax.tree.leaves(bs1)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )

@@ -44,7 +44,8 @@ def nyu_tree(tmp_path_factory):
             name = f"{i + 1:04d}.png"
             rgb = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
             seg = rng.integers(0, 14, size=(h, w)).astype(np.uint8)
-            depth16 = (rng.uniform(0.5, 9.9, size=(h, w)) * 1e4).astype(
+            # stay under 6.5535m so meters*1e4 fits uint16 without wrapping
+            depth16 = (rng.uniform(0.5, 6.5, size=(h, w)) * 1e4).astype(
                 np.uint16
             )
             Image.fromarray(rgb).save(root / f"{stage}_rgb" / name)

@@ -19,6 +19,12 @@ import numpy as np
 
 Sample = t.Dict[str, np.ndarray]
 
+# sentinel for "use the config default, resolved at call time" — lets an
+# explicit None mean "no transform" while cfg-singleton edits (e.g. the
+# CLI's --data_dir / transform overrides) still take effect (shared by the
+# dataset constructors)
+UNSET: t.Any = object()
+
 
 class MTLDataset:
     benchmark_idxs: t.Optional[t.List[int]] = None

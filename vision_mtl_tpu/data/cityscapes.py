@@ -15,11 +15,8 @@ import typing as t
 import numpy as np
 
 from vision_mtl_tpu.cfg import cityscapes_data_cfg as data_cfg
-from vision_mtl_tpu.data.base import MTLDataset, Sample
+from vision_mtl_tpu.data.base import UNSET, MTLDataset, Sample
 from vision_mtl_tpu.data.transforms import resize_depth, resize_image, resize_mask
-
-
-_UNSET = object()  # distinguishes "use cfg transform" from explicit None
 
 
 class CityscapesDataset(MTLDataset):
@@ -29,11 +26,15 @@ class CityscapesDataset(MTLDataset):
         self,
         stage: str,
         data_base_dir: t.Optional[str] = None,
-        transforms: t.Any = _UNSET,
+        transforms: t.Any = UNSET,
         max_depth: t.Optional[float] = None,
     ):
         # config fields resolve at call time (not import time) so edits to
-        # the cfg singleton — e.g. a CLI-pointed data dir — take effect
+        # the cfg singleton — e.g. a CLI-pointed data dir — take effect.
+        # An explicit `transforms` (incl. None) applies to both stages,
+        # matching the reference's single-transform constructor
+        # (cityscapes.py:14-28); the default binds each stage to its own
+        # cfg field.
         super().__init__(
             stage=stage,
             data_base_dir=data_base_dir
@@ -41,10 +42,10 @@ class CityscapesDataset(MTLDataset):
             else data_cfg.data_dir,
             max_depth=max_depth if max_depth is not None else data_cfg.max_depth,
             train_transform=data_cfg.train_transform
-            if transforms is _UNSET
+            if transforms is UNSET
             else transforms,
-            test_transform=data_cfg.train_transform
-            if transforms is _UNSET
+            test_transform=data_cfg.test_transform
+            if transforms is UNSET
             else transforms,
         )
         self.paths = self.parse_paths()

@@ -31,11 +31,8 @@ except ImportError:  # native zlib PNG decoder covers the load path
     Image = None
 
 from vision_mtl_tpu.cfg import nyuv2_data_cfg as data_cfg
-from vision_mtl_tpu.data.base import MTLDataset, Sample
+from vision_mtl_tpu.data.base import UNSET, MTLDataset, Sample
 from vision_mtl_tpu.data.transforms import resize_depth, resize_image, resize_mask
-
-
-_UNSET = object()  # distinguishes "use cfg transform" from explicit None
 
 
 class NYUv2(MTLDataset):
@@ -47,12 +44,15 @@ class NYUv2(MTLDataset):
         data_base_dir: t.Optional[str] = None,
         download: bool = False,
         use_sn: bool = False,
-        transforms: t.Any = _UNSET,
+        transforms: t.Any = UNSET,
         max_depth: t.Optional[float] = None,
     ):
         assert stage in ("train", "test"), "stage must be either train or test"
         # config fields resolve at call time (not import time) so edits to
-        # the cfg singleton — e.g. a CLI-pointed data dir — take effect
+        # the cfg singleton — e.g. a CLI-pointed data dir — take effect.
+        # An explicit `transforms` (incl. None) applies to both stages
+        # (reference single-transform constructor, nyuv2.py:44-57); the
+        # default binds each stage to its own cfg field.
         if data_base_dir is None:
             data_base_dir = data_cfg.data_dir
         super().__init__(
@@ -60,10 +60,10 @@ class NYUv2(MTLDataset):
             data_base_dir=data_base_dir,
             max_depth=max_depth if max_depth is not None else data_cfg.max_depth,
             train_transform=data_cfg.train_transform
-            if transforms is _UNSET
+            if transforms is UNSET
             else transforms,
-            test_transform=data_cfg.train_transform
-            if transforms is _UNSET
+            test_transform=data_cfg.test_transform
+            if transforms is UNSET
             else transforms,
         )
         self.use_sn = use_sn

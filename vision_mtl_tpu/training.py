@@ -40,7 +40,14 @@ def _select_backend(device: str) -> None:
     remote-TPU platform at startup, so env vars alone are ignored."""
     if not device or not device.startswith("cpu"):
         return  # default backend (tpu if attached)
-    n = int(device.split(":", 1)[1]) if ":" in device else 1
+    n = 1
+    if ":" in device:
+        spec = device.split(":", 1)[1]
+        if not spec.isdigit() or int(spec) < 1:
+            raise SystemExit(
+                f"--device {device!r}: expected 'cpu' or 'cpu:N' with N >= 1"
+            )
+        n = int(spec)
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
