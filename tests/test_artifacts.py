@@ -83,3 +83,40 @@ def test_load_artifacts_missing_asset_is_none(tmp_path, capsys):
     assert out["checkpoint_path"].endswith("model_1")
     assert out["args_path"] is None
     assert "No asset found" in capsys.readouterr().out
+
+
+def test_epoch_match_is_anchored(tmp_path):
+    """model_1 must not match model_12's assets (substring trap)."""
+    api = _FakeAPI(
+        [
+            {"fileName": "model_12", "assetId": "big"},
+            {"fileName": "model_1", "assetId": "small"},
+        ]
+    )
+    out = artifacts.load_artifacts_from_comet(
+        "run", str(tmp_path), project_name="p", api=api, epoch=1
+    )
+    with open(out["checkpoint_path"]) as f:
+        assert f.read() == "payload:small"
+
+
+def test_multifile_orbax_dir_download(tmp_path):
+    """Orbax checkpoints are logged as per-file assets under model_{e}/...;
+    all files must land at their original relative paths."""
+    api = _FakeAPI(
+        [
+            {"fileName": "model_7/manifest.ocdbt", "assetId": "m"},
+            {"fileName": "model_7/d/data0", "assetId": "d0"},
+            {"fileName": "model_70/manifest.ocdbt", "assetId": "other"},
+        ]
+    )
+    out = artifacts.load_artifacts_from_comet(
+        "run", str(tmp_path), project_name="p", api=api, epoch=7
+    )
+    root = out["checkpoint_path"]
+    assert root.endswith("model_7")
+    with open(f"{root}/manifest.ocdbt") as f:
+        assert f.read() == "payload:m"
+    with open(f"{root}/d/data0") as f:
+        assert f.read() == "payload:d0"
+    assert len(api.downloads) == 2  # model_70 untouched

@@ -115,3 +115,46 @@ def test_print_sample_stats(capsys):
     print_sample_stats({"img": np.zeros((2, 4, 4, 3), np.float32)})
     out = capsys.readouterr().out
     assert "img" in out and "arr.shape=(2, 4, 4, 3)" in out
+
+
+def test_restore_session_skips_epoch_without_session(tmp_path, monkeypatch):
+    """A crash between the async model/session saves can leave model_N
+    without session_N; exact-resume must fall back to the latest epoch with
+    BOTH artifacts instead of pairing mismatched state."""
+    import shutil
+
+    from vision_mtl_tpu.train.checkpoint import restore_session
+
+    monkeypatch.setattr(pipeline, "build_model", _tiny)
+    data_cfg = fetch_data_cfg("synthetic")
+    _, state = pipeline.init_model(_args(), data_cfg)
+    sched = ReduceLROnPlateau()
+    save_ckpt(state, sched, epoch=3, save_dir=str(tmp_path))
+    save_ckpt(state, sched, epoch=7, save_dir=str(tmp_path))
+    shutil.rmtree(tmp_path / "session_7")  # simulate crash mid-save
+
+    _, _, start_epoch = restore_session(state, sched, str(tmp_path))
+    assert start_epoch == 4  # epoch 3 + 1, NOT 8
+
+
+def test_metrics_logger_claims_distinct_versions(tmp_path):
+    """Concurrent loggers must never share a version dir (atomic claim)."""
+    import threading
+
+    from vision_mtl_tpu.tracking.tb import MetricsLogger
+
+    dirs = []
+    lock = threading.Lock()
+
+    def make():
+        lg = MetricsLogger(str(tmp_path), "run")
+        with lock:
+            dirs.append(lg.log_dir)
+        lg.close()
+
+    threads = [threading.Thread(target=make) for _ in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(set(dirs)) == 8

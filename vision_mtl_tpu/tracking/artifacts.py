@@ -83,6 +83,27 @@ def load_artifacts_from_comet(
         api.download_experiment_asset(exp_api.id, hits[0]["assetId"], dst)
         return dst
 
+    def fetch_ckpt_dir(prefix: str, dst_dir: str) -> t.Optional[str]:
+        """Download a multi-file Orbax checkpoint directory. Assets were
+        logged per file as ``{prefix}/<relpath>``; the match is anchored at
+        a path boundary so e.g. ``model_5`` never hits ``model_50/...``,
+        and every file lands at its original relative path (a flat
+        single-file download would not be restorable)."""
+        if os.path.exists(dst_dir):
+            return dst_dir
+        pat = re.compile(rf"{re.escape(prefix)}(/|$)")
+        hits = [x for x in assets if pat.match(x["fileName"])]
+        if not hits:
+            print(f"No asset found matching {prefix}")
+            return None
+        for x in hits:
+            rel = x["fileName"]
+            rel = rel[len(prefix) :].lstrip("/")
+            dst = os.path.join(dst_dir, rel) if rel else dst_dir
+            os.makedirs(os.path.dirname(dst) or dst_dir, exist_ok=True)
+            api.download_experiment_asset(exp_api.id, x["assetId"], dst)
+        return dst_dir
+
     args_path = fetch(
         args_name_no_ext,
         os.path.join(local_artifacts_dir, f"{args_name_no_ext}.yaml"),
@@ -91,7 +112,7 @@ def load_artifacts_from_comet(
         epoch = get_latest_ckpt_epoch(
             exp_name, project_name=project_name, api=api
         )
-    ckpt_path = fetch(
+    ckpt_path = fetch_ckpt_dir(
         f"{model_artifact_name}_{epoch}",
         os.path.join(local_artifacts_dir, f"{model_artifact_name}_{epoch}"),
     )
@@ -100,7 +121,7 @@ def load_artifacts_from_comet(
         "args_path": args_path,
     }
     if session_artifact_name is not None:
-        results["session_path"] = fetch(
+        results["session_path"] = fetch_ckpt_dir(
             session_artifact_name,
             os.path.join(local_artifacts_dir, session_artifact_name),
         )

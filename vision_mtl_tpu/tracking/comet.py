@@ -44,6 +44,12 @@ def create_tracking_exp(
     if project_name is None:
         project_name = cfg.logger.project_name
     disabled = getattr(args, "exp_disabled", exp_disabled) or force_disabled
+    if disabled:
+        # a comet_ml.Experiment(disabled=True) is truthy, which would flip
+        # every reference-style ``if exp:`` guard (benchmark plotting,
+        # checkpoint upload waits) to the enabled path — NullExperiment
+        # keeps the falsy contract regardless of comet_ml being installed
+        return NullExperiment()
 
     try:
         import comet_ml  # noqa: F401
@@ -88,6 +94,8 @@ def log_params_to_exp(experiment: t.Any, params: dict, prefix: str) -> None:
         )
 
 
-def log_ckpt_to_exp(experiment: t.Any, ckpt_path: str, model_name: str) -> None:
+def log_ckpt_to_exp(
+    experiment: t.Any, ckpt_path: str, model_name: str = "ckpt"
+) -> None:
     if experiment:
         experiment.log_model(model_name, ckpt_path, overwrite=False)

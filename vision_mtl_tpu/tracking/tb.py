@@ -20,11 +20,18 @@ import typing as t
 class MetricsLogger:
     def __init__(self, root_dir: str, name: str):
         base = os.path.join(root_dir, name)
+        os.makedirs(base, exist_ok=True)
+        # claim a version dir atomically (makedirs WITHOUT exist_ok):
+        # concurrent loggers — e.g. thread-parallel tuning trials — must
+        # not pick the same version and interleave metrics/checkpoints
         version = 0
-        while os.path.exists(os.path.join(base, f"version_{version}")):
-            version += 1
-        self.log_dir = os.path.join(base, f"version_{version}")
-        os.makedirs(self.log_dir, exist_ok=True)
+        while True:
+            self.log_dir = os.path.join(base, f"version_{version}")
+            try:
+                os.makedirs(self.log_dir)
+                break
+            except FileExistsError:
+                version += 1
         self._jsonl = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
         try:
             from tensorboardX import SummaryWriter

@@ -73,25 +73,49 @@ def save_ckpt(
     }
     ckptr.save(model_path, model_tree, force=True)
     ckptr.save(session_path, session_tree, force=True)
-    if block:
+    if block or exp:
+        # an async Orbax save finalizes (renames the tmp dir) in a
+        # background thread — the upload must not race it, so a Comet
+        # upload forces the wait even when the caller asked for async
         ckptr.wait_until_finished()
     if exp:
-        exp.log_model("ckpt", model_path)
-        exp.log_model("ckpt", session_path)
+        from vision_mtl_tpu.tracking.comet import log_ckpt_to_exp
+
+        log_ckpt_to_exp(exp, model_path)
+        log_ckpt_to_exp(exp, session_path)
     print(f"Saved model to {model_path}")
     return model_path, session_path
 
 
-def _latest_epoch(ckpt_dir: str, prefix: str) -> int:
+def _epochs(ckpt_dir: str, prefix: str) -> t.List[int]:
     pattern = re.compile(rf"{prefix}_(\d+)$")
-    epochs = [
+    return [
         int(m.group(1))
         for f in os.listdir(ckpt_dir)
         if (m := pattern.match(f))
     ]
+
+
+def _latest_epoch(ckpt_dir: str, prefix: str) -> int:
+    epochs = _epochs(ckpt_dir, prefix)
     if not epochs:
         raise ValueError(f"No {prefix} ckpt found in {ckpt_dir}")
     return max(epochs)
+
+
+def _latest_common_epoch(ckpt_dir: str) -> int:
+    """Latest epoch for which BOTH model and session artifacts exist — a
+    crash between the two async saves can leave model_N without session_N;
+    resuming from mismatched epochs would silently pair epoch-N weights
+    with older optimizer/scheduler state."""
+    common = set(_epochs(ckpt_dir, "model")) & set(_epochs(ckpt_dir, "session"))
+    if not common:
+        raise ValueError(
+            f"No epoch with both model_* and session_* artifacts in "
+            f"{ckpt_dir} — cannot exact-resume (use --ckpt_dir for a "
+            f"weights-only warm start)."
+        )
+    return max(common)
 
 
 def load_ckpt_model(
@@ -168,6 +192,9 @@ def restore_session(
     exact-resume is a production addition (dual artifacts already carry the
     session, reference save_ckpt:156-163).
     """
+    if epoch is None:
+        wait_for_saves()
+        epoch = _latest_common_epoch(ckpt_dir)
     state = restore_state(state, ckpt_dir, epoch)
     target = {
         "opt_state": jax.device_get(state.opt_state),

@@ -101,8 +101,15 @@ def run_pipe(
     else:
         print("A batch for benchmarking is not found.")
 
-    global_step = 0
+    # resume continues the step axis (state.step was restored by
+    # restore_session) so step-level metric streams do not restart at 0
+    global_step = int(state.step)
     val_step = 0
+    if logger is None:
+        print(
+            "WARNING: run_pipe called without a logger — no checkpoints "
+            "will be saved (save_dir comes from logger.log_dir)."
+        )
     epoch_metrics: t.Dict[str, t.Dict[str, list]] = {
         "train": defaultdict(list),
         "val": defaultdict(list),
@@ -121,8 +128,12 @@ def run_pipe(
         for batch in prefetch_to_device(train_loader, mesh, size=2):
             state, mstate, losses = train_step(state, batch, mstate)
             if logger is not None and global_step % log_every_n_steps == 0:
+                # ONE device_get for all loss scalars (single host sync per
+                # logged step; per-scalar float() would round-trip 3x)
+                host_losses = jax.device_get(losses)
                 step_stats = {
-                    f"step/train/{k}": float(v) for k, v in losses.items()
+                    f"step/train/{k}": float(v)
+                    for k, v in host_losses.items()
                 }
                 logger.log_metrics(step_stats, step=global_step)
                 if exp:
@@ -181,7 +192,6 @@ def run_pipe(
                     print("benchmark plot failed:", e)
 
             val_mstate = init_metrics(num_classes)
-            n_val_batches = 0
             for batch in prefetch_to_device(
                 datamodule.val_dataloader(), mesh, size=2
             ):
@@ -190,12 +200,11 @@ def run_pipe(
                     logger.log_metrics(
                         {
                             f"step/val/{k}": float(v)
-                            for k, v in losses.items()
+                            for k, v in jax.device_get(losses).items()
                         },
                         step=val_step,
                     )
                 val_step += 1
-                n_val_batches += 1
 
             # summed val loss drives the plateau scheduler (reference :168)
             val_loss_sum = float(val_mstate.loss_sum)
