@@ -130,3 +130,44 @@ def test_resize_matches_torch_antialiased_bilinear(rng):
         mode="bilinear", antialias=True,
     )[0, 0].numpy()
     np.testing.assert_allclose(ours_d, ref_d, atol=2e-4)  # values in [0,10]
+
+
+def test_val_split_uses_test_transform(tmp_path, monkeypatch):
+    """Quirk #5 for real: the val Subset must run the TEST transform (the
+    reference's Subset-attribute write silently leaves the train one).
+    Uses a fake cityscapes tree — the synthetic dataset ignores transforms."""
+    from vision_mtl_tpu.cfg import ResizeSpec, cityscapes_data_cfg
+
+    rng = np.random.default_rng(2)
+    h, w, n = 16, 24, 10
+    for sub in ("image", "label", "depth"):
+        (tmp_path / "train" / sub).mkdir(parents=True)
+    for i in range(n):
+        np.save(tmp_path / "train" / "image" / f"{i:03d}.npy",
+                rng.uniform(0, 1, size=(h, w, 3)).astype(np.float32))
+        np.save(tmp_path / "train" / "label" / f"{i:03d}.npy",
+                rng.integers(-1, 19, size=(h, w)).astype(np.int64))
+        np.save(tmp_path / "train" / "depth" / f"{i:03d}.npy",
+                rng.uniform(0, 1, size=(h, w)).astype(np.float32))
+    monkeypatch.setattr(cityscapes_data_cfg, "data_dir", str(tmp_path))
+
+    dm = MTLDataModule(
+        "cityscapes",
+        train_transform=None,              # raw 16x24
+        test_transform=ResizeSpec(8, 12),
+        batch_size=2,
+    )
+    dm.setup("fit")
+    assert dm.data_train[0]["img"].shape[:2] == (16, 24)
+    assert dm.data_val[0]["img"].shape[:2] == (8, 12)
+    # same seeded index split: full disjoint coverage
+    assert len(dm.data_train) + len(dm.data_val) == n
+
+
+def test_do_overfit_stage_test_only():
+    """setup('test') with do_overfit must materialize the overfit subset
+    (previously data_test was assigned a still-None data_train)."""
+    dm = MTLDataModule("synthetic", do_overfit=True, batch_size=2)
+    dm.setup("test")
+    batch = next(iter(dm.test_dataloader()))
+    assert batch["img"].shape[0] == 2

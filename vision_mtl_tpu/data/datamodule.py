@@ -80,7 +80,7 @@ class MTLDataModule:
             print("Failed to load benchmark batch: ", e)
             self.benchmark_batch = None
 
-        if stage in ("fit", None):
+        if stage in ("fit", None) or (self.do_overfit and self.data_train is None):
             if self.do_overfit:
                 overfit = Subset(data_train, range(self.batch_size))
                 self.data_train = self.data_val = overfit
@@ -89,7 +89,15 @@ class MTLDataModule:
                 train_len = int(n * self.train_size)
                 order = np.random.default_rng(self.seed).permutation(n)
                 self.data_train = Subset(data_train, order[:train_len])
-                self.data_val = Subset(data_train, order[train_len:])
+                # val runs the TEST transform: a second dataset instance
+                # over the same seeded indices. (The reference tries the
+                # same and silently fails — it sets .transforms on the
+                # Subset, not the dataset, lit_datamodule.py:67-74; quirk
+                # #5 fixes it for real. Equal transforms make it a no-op.)
+                data_eval = _make_dataset(
+                    self.dataset_name, "train", self.test_transform
+                )
+                self.data_val = Subset(data_eval, order[train_len:])
 
         val_stage_name = "val" if self.dataset_name == "cityscapes" else "test"
         if stage in ("test", None):

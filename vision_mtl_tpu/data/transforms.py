@@ -49,6 +49,11 @@ def resize_mask(
             mask.astype(np.float32), spec.height, spec.width, Image.BILINEAR
         )
         return out
+    if mask.dtype == np.int64:
+        # PIL has no 64-bit integer mode ("Cannot handle this data type");
+        # label ids fit int32 trivially. Hit by the Python fallback path on
+        # raw Kaggle int64 label npys (the native C++ path resizes itself).
+        mask = mask.astype(np.int32)
     return _resize2d(mask, spec.height, spec.width, Image.NEAREST)
 
 

@@ -21,16 +21,31 @@ from vision_mtl_tpu.parallel.mesh import batch_sharding
 def maybe_initialize_distributed() -> None:
     """Initialize jax.distributed when running under a multi-process launcher
     (TPU pod runtimes autodetect coordinator/process env); safe no-op for
-    single-process runs."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    try:
-        import os
+    single-process runs.
 
-        if "COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
-    except Exception as e:  # pragma: no cover - depends on launcher env
-        print(f"jax.distributed.initialize skipped: {e}")
+    ORDER MATTERS: the launcher check must be a pure ``os.environ`` test —
+    any jax API call (even ``jax.process_count()``) initializes the XLA
+    backend, after which ``jax.distributed.initialize()`` refuses to run and
+    every process would silently train as an independent single-process job.
+    Call this before anything else touches jax."""
+    import os
+
+    if not (
+        "COORDINATOR_ADDRESS" in os.environ
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+    ):
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:  # pragma: no cover - depends on launcher env
+        if "already initialized" in str(e):
+            return  # the runtime beat us to it — fine
+        raise RuntimeError(
+            "jax.distributed.initialize failed under a multi-process "
+            "launcher; if the XLA backend was already initialized, call "
+            "maybe_initialize_distributed() before any other jax API use. "
+            f"Original error: {e}"
+        ) from e
 
 
 def process_index_range(
@@ -38,13 +53,17 @@ def process_index_range(
     process_index: t.Optional[int] = None,
     process_count: t.Optional[int] = None,
 ) -> range:
-    """Contiguous per-host slice of dataset indices (host-sharded loading)."""
+    """Contiguous per-host slice of dataset indices (host-sharded loading).
+
+    Every host gets EXACTLY ``dataset_len // process_count`` samples — the
+    remainder is dropped. Equal local lengths are load-bearing: hosts drive
+    the SPMD step loop independently, and a host with one extra batch would
+    dispatch a collective the others never join (distributed hang)."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     per = dataset_len // pc
     start = pi * per
-    end = dataset_len if pi == pc - 1 else start + per
-    return range(start, end)
+    return range(start, start + per)
 
 
 def global_batch_from_local(

@@ -73,7 +73,9 @@ class Predictor:
 
             rep = NamedSharding(mesh, P())
             img_sharding = jax.tree.leaves(
-                batch_sharding(mesh, {"img": np.zeros(self.shape, np.float32)})
+                batch_sharding(
+                    mesh, {"img": jax.ShapeDtypeStruct(self.shape, dtype)}
+                )
             )[0]
             self._params = jax.device_put(self._params, rep)
             self._stats = jax.device_put(self._stats, rep)
@@ -98,6 +100,10 @@ class Predictor:
         if n > self.batch_size:
             raise ValueError(
                 f"batch {n} exceeds compiled batch size {self.batch_size}"
+            )
+        if n == 0:
+            raise ValueError(
+                "empty request: need at least one image to pad from"
             )
         if n < self.batch_size:
             pad = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
