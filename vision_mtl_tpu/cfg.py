@@ -40,7 +40,12 @@ def _load_dotenv(path: Path) -> None:
         if not line or line.startswith("#") or "=" not in line:
             continue
         k, v = line.split("=", 1)
-        os.environ.setdefault(k.strip(), v.strip())
+        v = v.strip()
+        # python-dotenv (the reference's loader) strips matching quotes —
+        # KEY="value" must yield value, not "value"
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+            v = v[1:-1]
+        os.environ.setdefault(k.strip(), v)
 
 
 _load_dotenv(root_dir / ".env")

@@ -48,20 +48,24 @@ def evaluate_run(
     batch_size: int = 8,
     loss_segm_weight: float = 1.0,
     loss_depth_weight: float = 1.0,
-    channel_wise_stitching: bool = True,
-    precision: str = "bf16",
+    channel_wise_stitching: bool = False,
+    precision: t.Optional[str] = None,
 ) -> t.Dict[str, float]:
+    """Defaults mirror the training CLI's (channel_wise_stitching is a
+    store_true flag -> False; precision bf16) so a checkpoint dir without
+    train_args.yaml still reconstructs the CLI-default architecture."""
     data_cfg = fetch_data_cfg(dataset_name)
     # model-config flags come from the run's own train_args.yaml when
     # present (the reference round-trips args the same way,
     # pipeline_utils.py:182-204) so a checkpoint always reloads into the
-    # architecture that produced it
+    # architecture — and compute precision — that produced it
     run_args = _load_run_args(ckpt_dir)
     channel_wise_stitching = run_args.get(
         "channel_wise_stitching", channel_wise_stitching
     )
     loss_segm_weight = run_args.get("loss_segm_weight", loss_segm_weight)
     loss_depth_weight = run_args.get("loss_depth_weight", loss_depth_weight)
+    precision = precision or run_args.get("precision", "bf16")
     args = argparse.Namespace(
         model_name=model_name,
         dataset_name=dataset_name,
@@ -69,6 +73,8 @@ def evaluate_run(
         lr=1e-3,
         ckpt_dir=None,
         channel_wise_stitching=channel_wise_stitching,
+        fold_tail=run_args.get("fold_tail", False),
+        remat_tail=run_args.get("remat_tail", 0),
         precision=precision,
         seed=11,
     )
@@ -77,6 +83,7 @@ def evaluate_run(
     dm = MTLDataModule(
         dataset_name,
         batch_size=batch_size,
+        num_workers=data_cfg.num_workers,
         train_transform=data_cfg.train_transform,
         test_transform=data_cfg.test_transform,
     )
@@ -118,6 +125,11 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
         spec, _, ckpt_dir = entry.partition("=")
         model_name, _, tag = spec.partition(":")
         tag = tag or model_name
+        if tag in results:
+            raise SystemExit(
+                f"duplicate tag {tag!r} in --runs — give each run a unique "
+                f"tag (model_name:tag=dir), or the first result is lost."
+            )
         print(f"Evaluating {tag} ({model_name}) from {ckpt_dir} ...")
         results[tag] = evaluate_run(
             model_name, ckpt_dir, args.dataset_name, args.batch_size

@@ -2,10 +2,10 @@
 
 Mirrors the reference optuna study (hyperparam_tuning.py:20-86): maximize
 mean validation accuracy over ``loss_segm_weight``/``loss_depth_weight`` in
-[0,1], 3-epoch trials, median pruning. Uses optuna when installed; otherwise
-falls back to a built-in TPE-free sampler (seeded quasi-random sweep with
-median pruning after epoch 1) so the capability exists in zero-dep
-environments.
+[0,1], 3-epoch trials, median pruning (optuna's MedianPruner — like the
+reference, it is configured but never fed intermediate reports, so trials
+run to completion). Without optuna, a built-in seeded uniform-random sweep
+(every trial runs all epochs) keeps the capability in zero-dep environments.
 """
 
 from __future__ import annotations
@@ -86,9 +86,16 @@ def run_study(
     args = copy.deepcopy(args)
     args.num_epochs = trial_epochs
 
+    # the ImportError guard covers ONLY the import — an ImportError raised
+    # inside a trial (e.g. a missing optional dep in the model path) must
+    # propagate, not silently discard completed optuna trials and rerun
+    # everything through the fallback
     try:
         import optuna
+    except ImportError:
+        optuna = None
 
+    if optuna is not None:
         pruner = optuna.pruners.MedianPruner()
         study = optuna.create_study(direction="maximize", pruner=pruner)
 
@@ -106,13 +113,11 @@ def run_study(
         )
         print("Best trial:", study.best_trial.value, study.best_trial.params)
         return dict(study.best_trial.params)
-    except ImportError:
-        pass
 
-    # built-in fallback: scrambled-Halton-ish quasi-random sweep. Honors
-    # --n_jobs with a thread pool on CPU (same semantics as optuna's n_jobs,
-    # reference hyperparam_tuning.py:64); serialized on TPU — shared device
-    # queue (CLAUDE.md).
+    # built-in fallback: seeded uniform-random sweep. Honors --n_jobs with
+    # a thread pool on CPU (same semantics as optuna's n_jobs, reference
+    # hyperparam_tuning.py:64); serialized on TPU — shared device queue
+    # (CLAUDE.md).
     rng = np.random.default_rng(getattr(args, "seed", 11))
     all_weights = [
         {k: float(rng.uniform(0.0, 1.0)) for k in PARAM_KEYS}

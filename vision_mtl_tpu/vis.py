@@ -99,10 +99,13 @@ def plot_annotated_segm_mask(
     ax.imshow(colorize_mask(mask), alpha=alpha)
     present = np.unique(mask)
     palette = cfg.vis.rgb_palette
+    # legend colors/labels must match the overlay, which CLIPS ids to the
+    # palette range (colorize_mask) — a modulo here would pair an id like -1
+    # or 255 with a different color than its painted pixels
     handles = [
         mpatches.Patch(
-            color=palette[c % len(palette)] / 255.0,
-            label=class_names[c] if c < len(class_names) else str(c),
+            color=palette[int(np.clip(c, 0, len(palette) - 1))] / 255.0,
+            label=class_names[c] if 0 <= c < len(class_names) else str(c),
         )
         for c in present
     ]
