@@ -87,3 +87,27 @@ def test_build_model_registry():
         assert model is not None
     with pytest.raises(NotImplementedError):
         build_model(argparse.Namespace(model_name="nope"), cityscapes_data_cfg)
+
+
+def test_csnet_upsample_skips_non_divisible_input():
+    """upsample_skips must handle inputs not divisible by 32: the 2x
+    nearest upsample can land a pixel off the skip (ceil-strided encoder)
+    and is cropped/padded to the skip's exact size."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_mtl_tpu.models.cross_stitch import CSNet
+
+    model = CSNet(
+        task_channels={"depth": 1, "segm": 5},
+        decoder_first_channel=16,
+        channel_wise_stitching=False,
+        upsample_skips=True,
+        dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 144, 160, 3))
+    out = jax.eval_shape(
+        lambda: model.init_with_output(jax.random.key(0), x, train=False)[0]
+    )
+    assert out["segm"].shape == (1, 144, 160, 5)
+    assert out["depth"].shape == (1, 144, 160, 1)

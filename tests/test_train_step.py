@@ -132,3 +132,33 @@ def test_plateau_matches_torch():
         lr = ours.step(v, lr)
         torch_lr = opt.param_groups[0]["lr"]
         assert lr == pytest.approx(torch_lr, rel=1e-9), (v, lr, torch_lr)
+
+
+def test_predict_step_without_ground_truth(rng):
+    """GT-less batches (img only) produce preds and leave metrics untouched
+    (reference predict_step's 'if GT present' guard, lit_module.py:155-169)."""
+    import jax.numpy as jnp
+
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.models.mtan import MTANMiniUnet
+    from vision_mtl_tpu.train.state import create_train_state
+    from vision_mtl_tpu.train.step import make_predict_eval_step
+
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels={"depth": 1, "segm": 5},
+        task_subnets_hidden_channels=4,
+        encoder_first_channel=4,
+        encoder_num_channels=2,
+        dtype=jnp.float32,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((2, 16, 16, 3)), lr=1e-3
+    )
+    step = make_predict_eval_step(model)
+    m0 = init_metrics(5)
+    batch = {"img": jnp.asarray(rng.uniform(size=(2, 16, 16, 3)).astype(np.float32))}
+    preds, m1, losses = step(state, batch, m0)
+    assert preds["segm"].shape == (2, 16, 16)
+    assert preds["depth"].shape == (2, 16, 16, 1)
+    assert losses == {}
+    assert float(m1.num_steps) == 0.0

@@ -97,6 +97,11 @@ def update_metrics(
     # (ops/pallas/confmat.py) but measured 4x SLOWER on v5e — XLA pipelines
     # the single big contraction better than a sequential tiled accumulate —
     # so the XLA form stays the default (docs/BENCH_NOTES.md).
+    # Precision bound: counts are exact while every per-batch cell stays
+    # under 2^24 (f32 integer resolution) — 16.7M pixels of ONE
+    # (target,pred) pair per update. The 128x256 configs peak at 4.2M
+    # px/batch (safe 4x over); for native-resolution eval (1024x2048 at
+    # bs>=16) split the batch across update calls.
     t1h = jax.nn.one_hot(flat_t, c, dtype=jnp.bfloat16)
     p1h = jax.nn.one_hot(flat_p, c, dtype=jnp.bfloat16)
     if valid is not None:

@@ -180,6 +180,11 @@ class CSNet(nn.Module):
                     skip = skips[ti][-d - 1]
                     if self.upsample_skips:
                         h = upsample_nearest_2x(h)
+                        # non-/32 input sizes leave the 2x upsample a pixel
+                        # off the skip (ceil-strided encoder): crop any
+                        # excess, pad any deficit to the skip's exact H,W
+                        h = h[:, : skip.shape[1], : skip.shape[2], :]
+                        h = pad_to_match(h, skip)
                     else:
                         h = pad_to_match(h, skip)
                     h = jnp.concatenate([skip.astype(h.dtype), h], axis=-1)

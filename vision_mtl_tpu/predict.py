@@ -64,6 +64,10 @@ def predict(
                 plt.close(fig)
             except Exception as e:
                 print("plot failed:", e)
+    if float(mstate.num_steps) == 0.0:
+        # GT-less sweep: no metrics were accumulated (reference
+        # predict_step only computes metrics "when GT present")
+        return preds, {}
     predict_metrics = {
         f"predict/{k}": float(v) for k, v in compute_metrics(mstate).items()
     }

@@ -35,9 +35,9 @@ def decode_batch(batch: Batch) -> Batch:
     out = dict(batch)
     if batch["img"].dtype == jnp.uint8:
         out["img"] = batch["img"].astype(jnp.float32) / 255.0
-    if batch["depth"].dtype == jnp.uint16:
+    if "depth" in batch and batch["depth"].dtype == jnp.uint16:
         out["depth"] = batch["depth"].astype(jnp.float32) / 65535.0
-    if batch["mask"].dtype != jnp.int32:
+    if "mask" in batch and batch["mask"].dtype != jnp.int32:
         out["mask"] = batch["mask"].astype(jnp.int32)
     return out
 
@@ -179,7 +179,11 @@ def make_train_step(
             inv = 1.0 / grad_accum_steps
             grads = jax.tree.map(lambda g: g * inv, grads)
             losses = jax.tree.map(lambda v: v * inv, losses)
-            # the scan counted each microbatch as a step; collapse to one
+            # the scan counted each microbatch as a step; collapse to one.
+            # INVARIANT: sum_i(loss_i) - (k-1)*avg == avg holds only for the
+            # three loss fields corrected below — any NEW loss key added to
+            # mtl_loss must be added here too, or its epoch aggregate is
+            # silently inflated k-fold under grad accumulation.
             mstate = mstate.replace(
                 num_steps=mstate.num_steps - (grad_accum_steps - 1),
                 loss_sum=mstate.loss_sum
@@ -265,6 +269,22 @@ def make_predict_eval_step(
         state: TrainState, batch: Batch, mstate: MetricState
     ) -> t.Tuple[t.Dict[str, jax.Array], MetricState, t.Dict[str, jax.Array]]:
         batch = decode_batch(batch)
+        if "mask" not in batch or "depth" not in batch:
+            # GT-less inference: dict keys are static under jit, so this is
+            # a trace-time branch — preds only, metric state untouched
+            # (reference predict_step's "if GT present" guard,
+            # lit_module.py:155-169)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["img"],
+                train=False,
+            )
+            post = postprocess_raw_out(out)
+            preds = {
+                "segm": post["segm_predictions"],
+                "depth": post["depth_predictions"],
+            }
+            return preds, mstate, {}
         losses, post, _ = _forward_and_losses(
             model,
             state.params,
