@@ -88,6 +88,38 @@ def trained(tmp_path_factory):
     return args, data_cfg, dm, model, state, epoch_metrics, logger
 
 
+def test_run_pipe_tp_mesh(tmp_path):
+    """run_pipe with --mesh_shape data:2,model:2: the CLI-path TP wiring
+    (shard_state inside run_pipe) trains to finite metrics and leaves the
+    returned state mesh-placed."""
+    from vision_mtl_tpu.parallel.mesh import create_mesh
+
+    data_cfg = fetch_data_cfg("synthetic")
+    args = _args()
+    dm = MTLDataModule("synthetic", batch_size=4, do_overfit=True)
+    dm.setup()
+    model = _tiny_model(data_cfg.num_classes)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=3e-3
+    )
+    mesh = create_mesh("data:2,model:2", devices=jax.devices()[:4])
+    logger = _Logger(tmp_path)
+    state, epoch_metrics = run_pipe(
+        args,
+        model,
+        state,
+        dm,
+        num_epochs=1,
+        num_classes=data_cfg.num_classes,
+        mesh=mesh,
+        logger=logger,
+    )
+    assert np.isfinite(epoch_metrics["train"]["train/loss"][0])
+    assert np.isfinite(epoch_metrics["val"]["val/accuracy"][0])
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.mesh.shape == {"data": 2, "model": 2}
+
+
 def test_run_pipe_metrics_surface(trained):
     _, _, _, _, _, epoch_metrics, logger = trained
     assert len(epoch_metrics["train"]["train/loss"]) == 2

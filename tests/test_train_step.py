@@ -9,7 +9,12 @@ import jax.numpy as jnp
 
 from vision_mtl_tpu.metrics import compute_metrics, init_metrics
 from vision_mtl_tpu.models.mtan import MTANMiniUnet
-from vision_mtl_tpu.parallel.mesh import create_mesh, put_batch
+from vision_mtl_tpu.parallel.mesh import (
+    create_mesh,
+    parse_mesh_shape,
+    put_batch,
+    shard_state,
+)
 from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
 from vision_mtl_tpu.train.state import (
     create_train_state,
@@ -115,6 +120,67 @@ def test_sharded_step_matches_single_device(rng):
     p1 = jax.tree.leaves(s1.params)[0]
     p2 = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4, atol=2e-6)
+
+
+def test_tp_mesh_step_matches_single_device(rng):
+    """data:2,model:2 tensor-parallel training == single-device training.
+
+    Exercises the real CLI path's sharding (run_pipe -> shard_state): params
+    and Adam moments laid out with the model-axis TP sharding, then one full
+    train step compared leaf-for-leaf against the unsharded run."""
+    model = _tiny_model()
+    batch = _batch(rng, bs=4)
+    state = create_train_state(model, jax.random.key(0), batch["img"], lr=1e-3)
+
+    step_single = make_train_step(model, donate=False)
+    s1, m1, l1 = step_single(state, batch, init_metrics(5))
+
+    mesh = create_mesh("data:2,model:2", devices=jax.devices()[:4])
+    # min_size=0 forces TP sharding even on this tiny model's kernels so the
+    # collective path is genuinely exercised (default 2**16 only shards
+    # production-sized kernels)
+    tp_state = shard_state(state, mesh, min_size=0)
+    # at least one param leaf must actually be sharded on the model axis
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(tp_state.params)
+        if hasattr(leaf, "sharding")
+    ]
+    assert any("model" in (s or ()) for s in specs), specs
+
+    step_tp = make_train_step(model, mesh=mesh, donate=False)
+    tp_batch = put_batch(batch, mesh)
+    s2, m2, l2 = step_tp(tp_state, tp_batch, init_metrics(5))
+
+    assert float(l1["loss"]) == pytest.approx(float(l2["loss"]), rel=1e-4)
+    r1, r2 = compute_metrics(m1), compute_metrics(m2)
+    for k in ("accuracy", "jaccard_index", "mae"):
+        assert float(r1[k]) == pytest.approx(float(r2[k]), rel=1e-5), k
+    # Gradients agree across layouts to ~2e-6 absolute (measured), but
+    # Adam's g/sqrt(v) normalization turns that noise into full sign flips
+    # on near-zero gradients — two opposite lr-sized steps = 2*lr param
+    # drift. Bound params by that; the multi-step loss check below carries
+    # the actual parity signal.
+    for p1, p2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=5e-3, atol=2.2e-3
+        )
+    # and the training trajectories stay together over several steps
+    for _ in range(3):
+        s1, m1, l1 = step_single(s1, batch, m1)
+        s2, m2, l2 = step_tp(s2, tp_batch, m2)
+    assert float(l1["loss"]) == pytest.approx(float(l2["loss"]), rel=5e-3)
+
+
+def test_mesh_spec_rejects_unknown_axes():
+    with pytest.raises(ValueError, match="Unknown mesh axis"):
+        parse_mesh_shape("data:2,pipeline:2", num_devices=4)
+    with pytest.raises(ValueError, match="Duplicate mesh axis"):
+        parse_mesh_shape("data:2,data:2", num_devices=4)
+    assert parse_mesh_shape("data:2,model:2", num_devices=4) == {
+        "data": 2,
+        "model": 2,
+    }
 
 
 def test_plateau_matches_torch():

@@ -13,8 +13,12 @@ Axes:
                   inputs (the dense-prediction analog of sequence
                   parallelism, SURVEY.md §5.7). XLA inserts halo exchanges
                   for the convolutions at shard boundaries.
+  * ``model``   — tensor parallelism: large conv kernels' output-channel
+                  dim is sharded (see :func:`param_shardings`); GSPMD
+                  all-gathers activations where a consumer needs them.
 
-Mesh spec strings: ``"data:-1"`` (all devices), ``"data:4,spatial:2"``.
+Mesh spec strings: ``"data:-1"`` (all devices), ``"data:4,spatial:2"``,
+``"data:2,model:2"``.
 """
 
 from __future__ import annotations
@@ -24,6 +28,9 @@ import typing as t
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+#: the full vocabulary of mesh axes the framework understands
+MESH_AXES = ("data", "spatial", "model")
 
 
 def parse_mesh_shape(
@@ -35,6 +42,13 @@ def parse_mesh_shape(
     axes: t.Dict[str, int] = {}
     for part in spec.split(","):
         name, _, size = part.strip().partition(":")
+        if name not in MESH_AXES:
+            raise ValueError(
+                f"Unknown mesh axis {name!r} in {spec!r}; "
+                f"valid axes: {', '.join(MESH_AXES)}"
+            )
+        if name in axes:
+            raise ValueError(f"Duplicate mesh axis {name!r} in {spec!r}")
         axes[name] = int(size) if size else -1
     wild = [k for k, v in axes.items() if v == -1]
     if len(wild) > 1:
@@ -115,6 +129,32 @@ def param_shardings(mesh: Mesh, params: t.Any, min_size: int = 2**16) -> t.Any:
         return NamedSharding(mesh, P())
 
     return jax.tree.map(spec, params)
+
+
+def shard_state(state: t.Any, mesh: Mesh, min_size: int = 2**16) -> t.Any:
+    """Place a TrainState onto ``mesh``: params and their Adam moments get
+    the tensor-parallel layout from :func:`param_shardings` (sharded only
+    when the mesh has a ``model`` axis), everything else (batch stats, step
+    counter, lr hyperparams) is replicated.
+
+    This is the single entry point that makes ``--mesh_shape …,model:K``
+    real in the training path — without it a model axis would exist in the
+    mesh but shard nothing.
+    """
+    repl = NamedSharding(mesh, P())
+    new = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params, min_size)),
+        opt_state=jax.device_put(
+            state.opt_state, param_shardings(mesh, state.opt_state, min_size)
+        ),
+    )
+    if getattr(state, "batch_stats", None) is not None:
+        new = new.replace(
+            batch_stats=jax.device_put(state.batch_stats, repl)
+        )
+    if getattr(state, "step", None) is not None:
+        new = new.replace(step=jax.device_put(state.step, repl))
+    return new
 
 
 def put_batch(batch: t.Any, mesh: t.Optional[Mesh]) -> t.Any:

@@ -22,7 +22,7 @@ import jax
 from vision_mtl_tpu.data.datamodule import MTLDataModule
 from vision_mtl_tpu.data.loader import prefetch_to_device
 from vision_mtl_tpu.metrics import compute_metrics, init_metrics
-from vision_mtl_tpu.parallel.mesh import put_batch
+from vision_mtl_tpu.parallel.mesh import put_batch, shard_state
 from vision_mtl_tpu.train.checkpoint import save_ckpt
 from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
 from vision_mtl_tpu.train.state import TrainState, get_lr, set_lr
@@ -73,6 +73,12 @@ def run_pipe(
     scheduler: t.Optional[ReduceLROnPlateau] = None,
     start_epoch: int = 0,
 ) -> t.Tuple[TrainState, t.Dict[str, t.Dict[str, list]]]:
+    if mesh is not None:
+        # place params/opt_state on the mesh — tensor-parallel layout when
+        # the mesh has a 'model' axis, explicit replication otherwise. This
+        # makes --mesh_shape data:K,model:M real in the CLI path (not just
+        # the driver's dryrun).
+        state = shard_state(state, mesh)
     train_step = make_train_step(
         model,
         loss_segm_weight=args.loss_segm_weight,

@@ -73,7 +73,9 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         type=str,
         default="data:-1",
         help="Device mesh as 'axis:size,axis:size'; -1 = all remaining devices. "
-        "Axes: data (batch), spatial (H sharding for large images).",
+        "Axes: data (batch), spatial (H sharding for large images), "
+        "model (tensor parallelism: large conv kernels sharded on "
+        "out-channels). E.g. 'data:2,model:2'. Unknown axes are rejected.",
     )
     tpu_args.add_argument("--seed", type=int, default=11)
     tpu_args.add_argument(
