@@ -131,20 +131,33 @@ def run_pipe(
         print(f"### Epoch {epoch + 1}/{num_epochs} ###")
         # ---------------- train ----------------
         mstate = init_metrics(num_classes)
+
+        def _flush_step_log(pending: t.Tuple[int, t.Any]) -> None:
+            # ONE device_get for all loss scalars (single host sync per
+            # logged step; per-scalar float() would round-trip 3x)
+            step_no, step_losses = pending
+            host_losses = jax.device_get(step_losses)
+            step_stats = {
+                f"step/train/{k}": float(v) for k, v in host_losses.items()
+            }
+            logger.log_metrics(step_stats, step=step_no)
+            if exp:
+                for k, v in step_stats.items():
+                    exp.log_metric(k, v, step=step_no)
+
+        # the loss fetch lags one step behind dispatch: step N's device_get
+        # happens only after step N+1 was enqueued, so the host sync overlaps
+        # device compute instead of serializing dispatch against completion
+        # (bench.py-measured: the eager fetch cost run_pipe ~its whole step
+        # budget through the relay — docs/BENCH_NOTES.md round-3)
+        pending_log: t.Optional[t.Tuple[int, t.Any]] = None
         for batch in prefetch_to_device(train_loader, mesh, size=2):
             state, mstate, losses = train_step(state, batch, mstate)
+            if pending_log is not None:
+                _flush_step_log(pending_log)
+                pending_log = None
             if logger is not None and global_step % log_every_n_steps == 0:
-                # ONE device_get for all loss scalars (single host sync per
-                # logged step; per-scalar float() would round-trip 3x)
-                host_losses = jax.device_get(losses)
-                step_stats = {
-                    f"step/train/{k}": float(v)
-                    for k, v in host_losses.items()
-                }
-                logger.log_metrics(step_stats, step=global_step)
-                if exp:
-                    for k, v in step_stats.items():
-                        exp.log_metric(k, v, step=global_step)
+                pending_log = (global_step, losses)
             if (
                 log_param_histograms_every
                 and global_step % log_param_histograms_every == 0
@@ -154,6 +167,8 @@ def run_pipe(
                 # fetching all params to host is expensive.
                 _log_param_histograms(logger, state, global_step)
             global_step += 1
+        if pending_log is not None:
+            _flush_step_log(pending_log)
 
         train_metrics = _metrics_float(mstate)
         for k, v in train_metrics.items():
@@ -198,19 +213,32 @@ def run_pipe(
                     print("benchmark plot failed:", e)
 
             val_mstate = init_metrics(num_classes)
+            pending_val: t.Optional[t.Tuple[int, t.Any]] = None
+
+            def _flush_val_log(pending: t.Tuple[int, t.Any]) -> None:
+                step_no, step_losses = pending
+                logger.log_metrics(
+                    {
+                        f"step/val/{k}": float(v)
+                        for k, v in jax.device_get(step_losses).items()
+                    },
+                    step=step_no,
+                )
+
             for batch in prefetch_to_device(
                 datamodule.val_dataloader(), mesh, size=2
             ):
                 val_mstate, losses = eval_step(state, batch, val_mstate)
+                # same one-step lag as the train loop: keep dispatch ahead
+                # of the host sync
+                if pending_val is not None:
+                    _flush_val_log(pending_val)
+                    pending_val = None
                 if logger is not None and val_step % log_every_n_steps == 0:
-                    logger.log_metrics(
-                        {
-                            f"step/val/{k}": float(v)
-                            for k, v in jax.device_get(losses).items()
-                        },
-                        step=val_step,
-                    )
+                    pending_val = (val_step, losses)
                 val_step += 1
+            if pending_val is not None:
+                _flush_val_log(pending_val)
 
             # summed val loss drives the plateau scheduler (reference :168)
             val_loss_sum = float(val_mstate.loss_sum)
