@@ -62,6 +62,84 @@ def test_resize_transform(nyu_tree):
     assert 0 <= s["mask"].min() and s["mask"].max() <= 13
 
 
+def test_cache_batch_matches_python_path(nyu_tree):
+    """The memmap cache path (load_batch) is byte-identical to the
+    per-sample Python path for every stream."""
+    from vision_mtl_tpu.data.nyu_cache import build_cache
+
+    spec = ResizeSpec(32, 32, antialias=True)
+    ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
+    assert ds.load_batch([0, 1]) is None  # no cache yet -> python fallback
+    ds._cache_checked = False
+    build_cache(ds)
+    idxs = [3, 0, 2]
+    batch = ds.load_batch(idxs)
+    assert batch is not None
+    for j, i in enumerate(idxs):
+        s = ds[i]
+        np.testing.assert_array_equal(batch["img"][j], s["img"])
+        np.testing.assert_array_equal(batch["mask"][j], s["mask"])
+        np.testing.assert_array_equal(batch["depth"][j], s["depth"])
+    assert batch["mask"].dtype == np.int32
+    assert batch["img"].dtype == np.float32
+
+    # build is idempotent: second call reuses the valid cache
+    import os
+
+    meta = os.path.join(
+        nyu_tree, "_cache", "train_32x32_v1", "meta.json"
+    )
+    mtime = os.path.getmtime(meta)
+    build_cache(ds)
+    assert os.path.getmtime(meta) == mtime
+
+
+def test_cache_rejected_when_stale(nyu_tree):
+    """A cache built under different max_depth (or any meta mismatch) is
+    never silently used."""
+    from vision_mtl_tpu.data.nyu_cache import build_cache, open_cache
+
+    spec = ResizeSpec(32, 32, antialias=True)
+    ds = NYUv2(stage="test", data_base_dir=nyu_tree, transforms=spec)
+    build_cache(ds)
+    assert open_cache(ds) is not None
+    other = NYUv2(
+        stage="test", data_base_dir=nyu_tree, transforms=spec, max_depth=5.0
+    )
+    assert open_cache(other) is None
+    assert other.load_batch([0]) is None
+
+
+def test_cache_loader_integration(nyu_tree):
+    """DataLoader picks up the cached load_batch automatically and yields
+    the same batches as the per-sample path."""
+    from vision_mtl_tpu.data.loader import DataLoader
+    from vision_mtl_tpu.data.nyu_cache import build_cache
+
+    spec = ResizeSpec(32, 32, antialias=True)
+    ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
+    build_cache(ds)
+    ds._cache_checked = False
+
+    class _NoBatch:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __getitem__(self, i):
+            return self._inner[i]
+
+    kw = dict(batch_size=2, shuffle=True, seed=7, drop_last=True)
+    cached = list(DataLoader(ds, **kw))
+    plain = list(DataLoader(_NoBatch(ds), **kw))
+    assert len(cached) == len(plain) == 2
+    for b1, b2 in zip(cached, plain):
+        for k in ("img", "mask", "depth"):
+            np.testing.assert_array_equal(b1[k], b2[k])
+
+
 def test_missing_data_raises(tmp_path):
     with pytest.raises(RuntimeError, match="Dataset not complete"):
         NYUv2(stage="train", data_base_dir=str(tmp_path / "nope"))

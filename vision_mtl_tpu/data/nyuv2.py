@@ -80,8 +80,38 @@ class NYUv2(MTLDataset):
             os.listdir(os.path.join(data_base_dir, f"{self.stage}_rgb"))
         )
 
+        # preprocessed-cache fast path (data/nyu_cache.py): raw PNG decode is
+        # ~60x slower than device compute; a valid cache serves prepared
+        # batches at memcpy rate. None until first load_batch call.
+        self._cache: t.Optional[t.Dict[str, np.ndarray]] = None
+        self._cache_checked = False
+        if os.environ.get("VMTL_BUILD_NYU_CACHE") == "1" and not use_sn:
+            from vision_mtl_tpu.data.nyu_cache import build_cache
+
+            build_cache(self)
+
     def __len__(self) -> int:
         return len(self.filenames)
+
+    def load_batch(self, idxs: t.Sequence[int]) -> t.Optional[Sample]:
+        """Batched load from the preprocessed memmap cache (byte-identical
+        to the per-sample Python path by construction — nyu_cache.py); None
+        when no valid cache exists (caller falls back to per-sample)."""
+        if self.use_sn:
+            return None  # normals aren't cached; per-sample path handles them
+        if not self._cache_checked:
+            from vision_mtl_tpu.data.nyu_cache import open_cache
+
+            self._cache = open_cache(self)
+            self._cache_checked = True
+        if self._cache is None:
+            return None
+        order = np.asarray(idxs, np.int64)
+        return {
+            "img": np.asarray(self._cache["img"][order]),
+            "mask": self._cache["mask"][order].astype(np.int32),
+            "depth": np.asarray(self._cache["depth"][order]),
+        }
 
     def _folder(self, name: str) -> str:
         return os.path.join(self.data_base_dir, f"{self.stage}_{name}")
