@@ -120,6 +120,41 @@ def test_run_pipe_tp_mesh(tmp_path):
     assert leaf.sharding.mesh.shape == {"data": 2, "model": 2}
 
 
+def test_run_pipe_epoch_callback_prunes(tmp_path):
+    """epoch_callback fires with val metrics after each val epoch, and an
+    exception from it stops training early (the tuning pruning hook)."""
+    data_cfg = fetch_data_cfg("synthetic")
+    args = _args()
+    dm = MTLDataModule("synthetic", batch_size=4, do_overfit=True)
+    dm.setup()
+    model = _tiny_model(data_cfg.num_classes)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=3e-3
+    )
+    seen = []
+
+    class Stop(Exception):
+        pass
+
+    def cb(epoch, val_metrics):
+        assert "accuracy" in val_metrics and "loss" in val_metrics
+        seen.append(epoch)
+        raise Stop()
+
+    with pytest.raises(Stop):
+        run_pipe(
+            args,
+            model,
+            state,
+            dm,
+            num_epochs=3,
+            num_classes=data_cfg.num_classes,
+            logger=_Logger(tmp_path),
+            epoch_callback=cb,
+        )
+    assert seen == [0]
+
+
 def test_run_pipe_metrics_surface(trained):
     _, _, _, _, _, epoch_metrics, logger = trained
     assert len(epoch_metrics["train"]["train/loss"]) == 2

@@ -13,7 +13,7 @@ from vision_mtl_tpu.eval_harness import build_table
 def test_run_study_fallback_picks_best(monkeypatch):
     calls = []
 
-    def fake_trial(args, data_cfg, weights, mesh, tag):
+    def fake_trial(args, data_cfg, weights, mesh, tag, epoch_callback=None):
         calls.append((dict(weights), tag))
         # score peaks when segm weight is high and depth weight low
         return weights["loss_segm_weight"] - weights["loss_depth_weight"]
@@ -56,7 +56,7 @@ def test_run_study_thread_parallel_trials(monkeypatch):
 
     barrier = threading.Barrier(2, timeout=30)
 
-    def fake_trial(args, data_cfg, weights, mesh, tag):
+    def fake_trial(args, data_cfg, weights, mesh, tag, epoch_callback=None):
         barrier.wait()
         return weights["loss_segm_weight"]
 
@@ -67,6 +67,73 @@ def test_run_study_thread_parallel_trials(monkeypatch):
     )
     best = tuning.run_study(args, fetch_data_cfg("synthetic"))
     assert set(best) == {"loss_segm_weight", "loss_depth_weight"}
+
+
+def test_median_pruner_semantics():
+    """Unit: startup grace, median comparison at the same epoch, thread-safe
+    complete/report cycle."""
+    p = tuning.MedianPruner(n_startup_trials=2)
+    p.report(0, 0.0)  # no completed trials yet -> never prunes
+    p.complete([0.5, 0.6])
+    p.report(0, 0.0)  # one completed < n_startup -> still no pruning
+    p.complete([0.7, 0.8])
+    p.report(0, 0.6)  # at median(0.5, 0.7) = 0.6 -> not strictly worse, ok
+    with pytest.raises(tuning.TrialPruned):
+        p.report(0, 0.1)  # below median -> pruned
+    with pytest.raises(tuning.TrialPruned):
+        p.report(1, 0.65)  # epoch 1 median is 0.7
+
+
+def test_fallback_pruner_stops_bad_trial(monkeypatch):
+    """A bad trial is pruned before its 3-epoch budget (VERDICT r2 #7):
+    after the two startup trials complete, a trial reporting below-median
+    accuracy at epoch 0 stops immediately; best params come from a
+    completed trial."""
+    epochs_run = {}
+
+    def fake_trial(args, data_cfg, weights, mesh, tag, epoch_callback=None):
+        # trial quality keyed off its sampled segm weight: the sweep's
+        # seeded weights make some trials clearly worse than others
+        base = weights["loss_segm_weight"]
+        accs = []
+        for epoch in range(args.num_epochs):
+            acc = base + 0.01 * epoch
+            accs.append(acc)
+            epochs_run[tag] = epoch + 1
+            if epoch_callback is not None:
+                epoch_callback(epoch, {"accuracy": acc})
+        return float(np.mean(accs))
+
+    monkeypatch.setattr(tuning, "_run_trial", fake_trial)
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_optuna(name, *a, **k):
+        if name == "optuna":
+            raise ImportError
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_optuna)
+
+    args = argparse.Namespace(
+        n_trials=8, n_jobs=1, num_epochs=10, seed=11,
+        loss_segm_weight=1.0, loss_depth_weight=1.0,
+    )
+    best = tuning.run_study(args, fetch_data_cfg("synthetic"))
+
+    pruned = [t for t, n in epochs_run.items() if n < 3]
+    assert pruned, epochs_run  # at least one trial stopped early
+    # the first two (startup) trials always run the full budget
+    assert epochs_run["trial_0"] == 3 and epochs_run["trial_1"] == 3
+    # best params belong to a completed (full 3-epoch) trial
+    rng = np.random.default_rng(11)
+    weights = [
+        {k: float(rng.uniform(0.0, 1.0)) for k in tuning.PARAM_KEYS}
+        for _ in range(8)
+    ]
+    best_i = weights.index(best)
+    assert epochs_run[f"trial_{best_i}"] == 3
 
 
 def test_build_table_shape_and_rounding():

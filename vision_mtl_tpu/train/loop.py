@@ -72,7 +72,14 @@ def run_pipe(
     log_param_histograms_every: int = 0,
     scheduler: t.Optional[ReduceLROnPlateau] = None,
     start_epoch: int = 0,
+    epoch_callback: t.Optional[
+        t.Callable[[int, t.Dict[str, float]], None]
+    ] = None,
 ) -> t.Tuple[TrainState, t.Dict[str, t.Dict[str, list]]]:
+    """``epoch_callback(epoch, val_metrics)`` fires after each validation
+    epoch (hyperparameter-tuning hook: the pruning callback raises
+    TrialPruned to stop the run early — tuning.py). Exceptions propagate;
+    pending async checkpoint saves are finalized either way."""
     if mesh is not None:
         # place params/opt_state on the mesh — tensor-parallel layout when
         # the mesh has a 'model' axis, explicit replication otherwise. This
@@ -265,7 +272,22 @@ def run_pipe(
                 print(f"Plateau: reducing lr to {new_lr:.3e}")
                 state = set_lr(state, new_lr)
 
+            if epoch_callback is not None:
+                try:
+                    epoch_callback(epoch, val_metrics)
+                except BaseException:
+                    # a pruned trial must not leave async checkpoint writes
+                    # dangling
+                    from vision_mtl_tpu.train.checkpoint import wait_for_saves
+
+                    wait_for_saves()
+                    raise
+
         # ---------------- checkpoint ----------------
+        # multi-process: EVERY process must call save (orbax checkpointing
+        # is a collective under jax.distributed — a lone-writer would
+        # deadlock the barrier); orbax itself elects process 0 to write
+        # the single coherent artifact for replicated (dp/sp) state
         if (epoch + 1) % args.save_epoch_freq == 0 or epoch == num_epochs - 1:
             if logger is not None:
                 # async: the write overlaps the next epoch; finalized below

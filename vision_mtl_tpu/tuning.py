@@ -2,16 +2,20 @@
 
 Mirrors the reference optuna study (hyperparam_tuning.py:20-86): maximize
 mean validation accuracy over ``loss_segm_weight``/``loss_depth_weight`` in
-[0,1], 3-epoch trials, median pruning (optuna's MedianPruner — like the
-reference, it is configured but never fed intermediate reports, so trials
-run to completion). Without optuna, a built-in seeded uniform-random sweep
-(every trial runs all epochs) keeps the capability in zero-dep environments.
+[0,1], 3-epoch trials, median pruning. Deliberate divergence from the
+reference: its MedianPruner was configured but never fed intermediate
+reports (hyperparam_tuning.py:57-64), so it never pruned — here trials
+report per-epoch val accuracy through run_pipe's ``epoch_callback`` and a
+below-median trial is stopped early (docs/QUIRKS.md #15). Without optuna,
+a built-in seeded uniform-random sweep with the same median-pruning
+semantics keeps the capability in zero-dep environments.
 """
 
 from __future__ import annotations
 
 import argparse
 import copy
+import threading
 import typing as t
 
 import numpy as np
@@ -22,6 +26,42 @@ from vision_mtl_tpu.train.loop import run_pipe
 from vision_mtl_tpu.utils.args import update_args
 
 PARAM_KEYS = ("loss_segm_weight", "loss_depth_weight")
+
+
+class TrialPruned(Exception):
+    """Raised by a pruning epoch_callback to stop a trial early."""
+
+
+class MedianPruner:
+    """Median pruning for the zero-dep fallback sweep (optuna-equivalent
+    semantics: a trial is pruned at epoch e when its val accuracy is worse
+    than the median of COMPLETED trials' accuracies at the same epoch;
+    pruning starts only after ``n_startup_trials`` trials completed and
+    ``n_warmup_steps`` epochs elapsed). Thread-safe — the sweep may run
+    trials concurrently (--n_jobs)."""
+
+    def __init__(self, n_startup_trials: int = 2, n_warmup_steps: int = 0):
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+        self._completed: t.List[t.List[float]] = []
+        self._lock = threading.Lock()
+
+    def report(self, epoch: int, value: float) -> None:
+        """Record an intermediate value; raises TrialPruned when the trial
+        should stop."""
+        with self._lock:
+            if (
+                len(self._completed) < self.n_startup_trials
+                or epoch < self.n_warmup_steps
+            ):
+                return
+            prior = [h[epoch] for h in self._completed if len(h) > epoch]
+        if prior and value < float(np.median(prior)):
+            raise TrialPruned(f"epoch {epoch}: {value:.4f} < median {float(np.median(prior)):.4f}")
+
+    def complete(self, history: t.Sequence[float]) -> None:
+        with self._lock:
+            self._completed.append(list(history))
 
 
 def _effective_n_jobs(args: argparse.Namespace) -> int:
@@ -47,9 +87,12 @@ def _run_trial(
     loss_weights: t.Dict[str, float],
     mesh: t.Any,
     tag: str,
+    epoch_callback: t.Optional[t.Callable[[int, t.Dict[str, float]], None]] = None,
 ) -> float:
     """One training trial; returns mean val accuracy
-    (reference optuna_objective, hyperparam_tuning.py:20-51)."""
+    (reference optuna_objective, hyperparam_tuning.py:20-51).
+    ``epoch_callback`` is threaded into run_pipe — a pruning callback raises
+    to stop the trial; the exception propagates after teardown."""
     args = copy.deepcopy(args)
     args = update_args(args, dict(loss_weights))
     components = create_main_components(args, data_cfg)
@@ -57,20 +100,23 @@ def _run_trial(
     exp, logger = tools["exp"], tools["logger"]
     if exp:
         exp.add_tags([tag])
-    _, fit_metrics = run_pipe(
-        args,
-        components["model"],
-        components["state"],
-        components["datamodule"],
-        num_epochs=args.num_epochs,
-        num_classes=data_cfg.num_classes,
-        mesh=mesh,
-        exp=exp,
-        logger=logger,
-    )
-    if exp:
-        exp.end()
-    logger.close()
+    try:
+        _, fit_metrics = run_pipe(
+            args,
+            components["model"],
+            components["state"],
+            components["datamodule"],
+            num_epochs=args.num_epochs,
+            num_classes=data_cfg.num_classes,
+            mesh=mesh,
+            exp=exp,
+            logger=logger,
+            epoch_callback=epoch_callback,
+        )
+    finally:
+        if exp:
+            exp.end()
+        logger.close()
     vals = fit_metrics["val"].get("val/accuracy", [0.0])
     return float(np.mean(vals))
 
@@ -103,8 +149,21 @@ def run_study(
             weights = {
                 k: trial.suggest_float(k, 0.0, 1.0) for k in PARAM_KEYS
             }
+
+            def cb(epoch: int, val_metrics: t.Dict[str, float]) -> None:
+                # live pruning (deliberate fix of the reference's dead
+                # pruner — module docstring / docs/QUIRKS.md #15)
+                trial.report(float(val_metrics.get("accuracy", 0.0)), epoch)
+                if trial.should_prune():
+                    raise optuna.TrialPruned()
+
             return _run_trial(
-                args, data_cfg, weights, mesh, f"trial_{trial.number}"
+                args,
+                data_cfg,
+                weights,
+                mesh,
+                f"trial_{trial.number}",
+                epoch_callback=cb,
             )
 
         # thread-parallel trials (reference hyperparam_tuning.py:64)
@@ -124,9 +183,28 @@ def run_study(
         for _ in range(args.n_trials)
     ]
     n_jobs = _effective_n_jobs(args)
+    pruner = MedianPruner()
 
     def trial(i: int) -> t.Tuple[float, t.Dict[str, float]]:
-        score = _run_trial(args, data_cfg, all_weights[i], mesh, f"trial_{i}")
+        history: t.List[float] = []
+
+        def cb(epoch: int, val_metrics: t.Dict[str, float]) -> None:
+            acc = float(val_metrics.get("accuracy", 0.0))
+            history.append(acc)
+            pruner.report(epoch, acc)
+
+        try:
+            score = _run_trial(
+                args, data_cfg, all_weights[i], mesh, f"trial_{i}",
+                epoch_callback=cb,
+            )
+        except TrialPruned as e:
+            # optuna semantics: best_trial only considers COMPLETE trials,
+            # so a pruned trial can never win (n_startup_trials guarantees
+            # at least that many completions exist)
+            print(f"trial {i}: {all_weights[i]} pruned ({e})")
+            return float("-inf"), all_weights[i]
+        pruner.complete(history)
         print(f"trial {i}: {all_weights[i]} -> {score:.4f}")
         return score, all_weights[i]
 
