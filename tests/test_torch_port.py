@@ -214,3 +214,48 @@ def test_apply_imagenet_backbone_missing_file_is_graceful(capsys):
     )
     assert not loaded
     assert "training from scratch" in capsys.readouterr().out
+
+
+def test_fetch_script_saves_converter_ready_npz(rng, tmp_path, monkeypatch):
+    """scripts/fetch_imagenet_weights.py: fetched state_dict lands as the
+    npz the converter auto-discovers; offline hosts get an actionable
+    error."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "fetch_imagenet_weights",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "fetch_imagenet_weights.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch = pytest.importorskip("torch")
+    sd = {k: torch.from_numpy(v) for k, v in _rand_sd(rng).items()}
+    monkeypatch.setattr(mod, "_state_dict_via_timm", lambda: sd)
+    out = tmp_path / "mobilenetv3_large_100.npz"
+    monkeypatch.setattr(sys, "argv", ["fetch", "--out", str(out)])
+    mod.main()
+    assert out.exists()
+    from vision_mtl_tpu.utils.torch_port import load_state_dict_file
+
+    loaded = load_state_dict_file(str(out))
+    np.testing.assert_allclose(
+        loaded["conv_stem.weight"], sd["conv_stem.weight"].numpy()
+    )
+
+    # offline: both sources fail -> actionable SystemExit
+    def boom():
+        raise OSError("no egress")
+
+    monkeypatch.setattr(mod, "_state_dict_via_timm", boom)
+    monkeypatch.setattr(mod, "_state_dict_via_hub", boom)
+    out2 = tmp_path / "w2.npz"
+    monkeypatch.setattr(sys, "argv", ["fetch", "--out", str(out2)])
+    with pytest.raises(SystemExit, match="egress"):
+        mod.main()
