@@ -314,6 +314,14 @@ int fastload_load_batch(const char** img_paths, const char** mask_paths,
           }
           const int64_t* s = reinterpret_cast<const int64_t*>(raw.data());
           for (int64_t p = 0; p < o.n; p++) {
+            // range-check BEFORE the narrowing cast: a corrupt label like
+            // 2^32-1 would silently wrap to -1 and get remapped as the
+            // ignore value; fail the sample instead (same untrusted-input
+            // stance as the header validation)
+            if (s[p] < INT32_MIN || s[p] > INT32_MAX) {
+              failed.store(i + 1);
+              return;
+            }
             int32_t v = (int32_t)s[p];
             mout[p] = (v == ignore_value) ? remap_to : v;
           }

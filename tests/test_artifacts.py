@@ -120,3 +120,27 @@ def test_multifile_orbax_dir_download(tmp_path):
     with open(f"{root}/d/data0") as f:
         assert f.read() == "payload:d0"
     assert len(api.downloads) == 2  # model_70 untouched
+
+
+def test_hostile_asset_names_are_skipped(tmp_path, capsys):
+    """Remote-controlled fileNames must not escape the artifacts dir, and
+    an asset named exactly like the prefix must not shadow the directory
+    its siblings populate."""
+    api = _FakeAPI(
+        [
+            {"fileName": "model_2/../../evil", "assetId": "e1"},
+            {"fileName": "model_2", "assetId": "shadow"},
+            {"fileName": "model_2/ok", "assetId": "good"},
+        ]
+    )
+    out = artifacts.load_artifacts_from_comet(
+        "run", str(tmp_path), project_name="p", api=api, epoch=2
+    )
+    root = out["checkpoint_path"]
+    with open(f"{root}/ok") as f:
+        assert f.read() == "payload:good"
+    dsts = [d for _, _, d in api.downloads]
+    assert all(str(tmp_path) in d for d in dsts)
+    assert len(api.downloads) == 1  # evil + shadow both skipped
+    captured = capsys.readouterr().out
+    assert "escapes" in captured and "names the" in captured

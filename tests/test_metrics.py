@@ -115,3 +115,33 @@ def test_loss_averaging():
     state = _update(state, t, t, d, d, {"loss": jnp.float32(4.0)})
     m = compute_metrics(state)
     assert float(m["loss"]) == pytest.approx(3.0)
+
+
+def test_confmat_chunking_matches_unchunked(rng, monkeypatch):
+    """Oversized updates are split into exact sub-contractions (the 2^24
+    f32 bound for native-resolution eval); results match the single-shot
+    path bit-for-bit, with and without a valid mask."""
+    import vision_mtl_tpu.metrics as M
+
+    b, h, w, c = 4, 8, 8, 5
+    preds = rng.integers(0, c, size=(b, h, w)).astype(np.int32)
+    mask = rng.integers(0, c, size=(b, h, w)).astype(np.int32)
+    d = rng.uniform(0.1, 1.0, size=(b, h, w, 1)).astype(np.float32)
+    valid = jnp.asarray([1.0, 1.0, 0.0, 1.0], jnp.float32)
+
+    for v in (None, valid):
+        ref = update_metrics(
+            init_metrics(c), jnp.asarray(preds), jnp.asarray(mask),
+            jnp.asarray(d), jnp.asarray(d), valid=v,
+        )
+        # force chunking: 3 pixels/chunk (not a divisor of b*h*w -> ragged
+        # final chunk covered too)
+        monkeypatch.setattr(M, "_CONFMAT_CHUNK_PX", 3)
+        got = update_metrics(
+            init_metrics(c), jnp.asarray(preds), jnp.asarray(mask),
+            jnp.asarray(d), jnp.asarray(d), valid=v,
+        )
+        monkeypatch.undo()
+        np.testing.assert_array_equal(
+            np.asarray(ref.confmat), np.asarray(got.confmat)
+        )

@@ -125,3 +125,26 @@ def test_read_png_matches_pil(tmp_path, rng):
 def test_read_png_missing_file():
     with pytest.raises(RuntimeError, match="decode failed"):
         native.read_png("/nonexistent.png")
+
+
+def test_corrupt_int64_label_fails_sample(tmp_path, rng):
+    """A label outside int32 range (e.g. 2^32-1, which would silently wrap
+    to -1 and get remapped as the ignore value) fails the sample instead of
+    producing wrong data."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    h, w = 8, 8
+    img = rng.uniform(0, 1, size=(h, w, 3)).astype(np.float32)
+    mask = rng.integers(0, 19, size=(h, w)).astype(np.int64)
+    mask[3, 3] = 2**32 - 1  # wraps to -1 under a blind (int32) cast
+    depth = rng.uniform(0, 1, size=(h, w)).astype(np.float32)
+    paths = {}
+    for name, arr in (("img", img), ("mask", mask), ("depth", depth)):
+        p = tmp_path / f"{name}.npy"
+        np.save(p, arr)
+        paths[name] = str(p)
+    with pytest.raises(RuntimeError, match="sample 0"):
+        native.load_cityscapes_batch(
+            [paths["img"]], [paths["mask"]], [paths["depth"]], h, w,
+            num_threads=1,
+        )

@@ -113,9 +113,36 @@ class DataLoader:
             batches.pop()
         return batches
 
+    @staticmethod
+    def _process_shard() -> t.Tuple[int, int]:
+        """(process_index, process_count) under jax.distributed; (0, 1)
+        single-process."""
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                return jax.process_index(), jax.process_count()
+        except Exception:
+            pass
+        return 0, 1
+
     def __iter__(self) -> t.Iterator[Batch]:
         batches = self._index_batches()
         self.epoch += 1
+
+        # host-sharded loading (multi-process SPMD): every host computes the
+        # SAME seeded global batch order, then decodes ONLY its contiguous
+        # 1/process_count row-slice of each global batch. put_batch
+        # assembles the global sharded array from these local shards
+        # (make_array_from_process_local_data) — no host ever decodes or
+        # ships another host's samples.
+        pid, pc = self._process_shard()
+        if pc > 1:
+            assert self.batch_size % pc == 0, (
+                f"global batch_size {self.batch_size} must divide by "
+                f"process_count {pc} for host-sharded loading"
+            )
+        per = self.batch_size // pc
 
         if self.num_workers > 0:
             pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
@@ -126,6 +153,23 @@ class DataLoader:
         native_batch = getattr(self.dataset, "load_batch", None)
         try:
             for idxs in batches:
+                n_real = len(idxs)
+                valid_local: t.Optional[np.ndarray] = None
+                if pc > 1:
+                    lo, hi = pid * per, (pid + 1) * per
+                    if self.pad_last:
+                        # pad the GLOBAL batch by repeating its last real
+                        # sample, then take this host's row-slice; 'valid'
+                        # marks the padded rows
+                        idxs = [
+                            idxs[min(r, n_real - 1)] for r in range(lo, hi)
+                        ]
+                        valid_local = (
+                            np.arange(lo, hi) < n_real
+                        ).astype(np.float32)
+                    else:
+                        # train: drop_last guarantees full global batches
+                        idxs = list(idxs[lo:hi])
                 batch = None
                 if native_batch is not None:
                     try:
@@ -138,7 +182,12 @@ class DataLoader:
                     else:
                         samples = [self.dataset[int(i)] for i in idxs]
                     batch = _collate(samples)
-                if self.pad_last:
+                if pc > 1:
+                    if valid_local is not None:
+                        batch["valid"] = valid_local
+                    elif self.with_valid:
+                        batch["valid"] = np.ones((per,), np.float32)
+                elif self.pad_last:
                     batch = _pad_batch(batch, self.batch_size)
                 elif self.with_valid:
                     batch["valid"] = np.ones(

@@ -139,9 +139,10 @@ class NYUv2(MTLDataset):
         depth = read("depth")
         sample: Sample = {"img": img, "mask": mask, "depth": depth}
         if self.use_sn:
-            sample["normals"] = np.array(
-                Image.open(os.path.join(self._folder("sn"), fn))
-            )
+            # same PIL-or-native fallback as the main streams (a bare
+            # Image.open would crash PIL-less hosts that the native decoder
+            # otherwise covers)
+            sample["normals"] = read("sn")
         return sample
 
     def prepare_sample(self, raw_sample: Sample, transform: t.Any = None) -> Sample:

@@ -60,6 +60,15 @@ def evaluate_run(
     # pipeline_utils.py:182-204) so a checkpoint always reloads into the
     # architecture — and compute precision — that produced it
     run_args = _load_run_args(ckpt_dir)
+    if not run_args and model_name == "csnet":
+        # round-2 flipped this default True->False to match the training
+        # CLI; a legacy/hand-made run dir without train_args.yaml that was
+        # trained channel-wise would mis-restore silently (docs/QUIRKS.md)
+        print(
+            f"WARNING: {ckpt_dir} has no train_args.yaml; assuming "
+            f"channel_wise_stitching={channel_wise_stitching}. Pass the "
+            f"flag explicitly if the checkpoint was trained otherwise."
+        )
     channel_wise_stitching = run_args.get(
         "channel_wise_stitching", channel_wise_stitching
     )

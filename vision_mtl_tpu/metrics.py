@@ -33,6 +33,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+# largest pixel count per confusion-matrix contraction that keeps f32
+# partial sums exact (integer resolution of f32 is 2^24); larger updates
+# are chunked in update_metrics
+_CONFMAT_CHUNK_PX = 1 << 24
+
 
 @struct.dataclass
 class MetricState:
@@ -97,22 +102,42 @@ def update_metrics(
     # (ops/pallas/confmat.py) but measured 4x SLOWER on v5e — XLA pipelines
     # the single big contraction better than a sequential tiled accumulate —
     # so the XLA form stays the default (docs/BENCH_NOTES.md).
-    # Precision bound: counts are exact while every per-batch cell stays
-    # under 2^24 (f32 integer resolution) — 16.7M pixels of ONE
-    # (target,pred) pair per update. The 128x256 configs peak at 4.2M
-    # px/batch (safe 4x over); for native-resolution eval (1024x2048 at
-    # bs>=16) split the batch across update calls.
-    t1h = jax.nn.one_hot(flat_t, c, dtype=jnp.bfloat16)
-    p1h = jax.nn.one_hot(flat_p, c, dtype=jnp.bfloat16)
-    if valid is not None:
-        vf = valid.astype(jnp.bfloat16)
-        t1h = t1h * jnp.repeat(vf, h * w)[:, None]
-    cm = jax.lax.dot_general(
-        t1h,
-        p1h,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # Precision bound: counts are exact while every contraction's partial
+    # sums stay under 2^24 (f32 integer resolution) — 16.7M pixels of ONE
+    # (target,pred) pair. The 128x256 configs peak at 4.2M px/batch (safe
+    # 4x over); batches beyond the bound (native-resolution eval, e.g.
+    # 1024x2048 at bs>=16) are split into <=2^24-pixel sub-contractions at
+    # trace time, keeping every update exact.
+    px_w = (
+        None
+        if valid is None
+        else jnp.repeat(valid.astype(jnp.bfloat16), h * w)
     )
+
+    def cm_block(ft: jax.Array, fp: jax.Array, w1) -> jax.Array:
+        t1h = jax.nn.one_hot(ft, c, dtype=jnp.bfloat16)
+        p1h = jax.nn.one_hot(fp, c, dtype=jnp.bfloat16)
+        if w1 is not None:
+            t1h = t1h * w1[:, None]
+        return jax.lax.dot_general(
+            t1h,
+            p1h,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    n = flat_t.shape[0]
+    if n <= _CONFMAT_CHUNK_PX:
+        cm = cm_block(flat_t, flat_p, px_w)
+    else:
+        cm = jnp.zeros((c, c), jnp.float32)
+        for s in range(0, n, _CONFMAT_CHUNK_PX):
+            e = s + _CONFMAT_CHUNK_PX
+            cm = cm + cm_block(
+                flat_t[s:e],
+                flat_p[s:e],
+                None if px_w is None else px_w[s:e],
+            )
 
     abs_err = jnp.abs(
         depth_preds.astype(jnp.float32) - gt_depth.astype(jnp.float32)

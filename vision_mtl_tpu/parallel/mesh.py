@@ -141,25 +141,55 @@ def shard_state(state: t.Any, mesh: Mesh, min_size: int = 2**16) -> t.Any:
     real in the training path — without it a model axis would exist in the
     mesh but shard nothing.
     """
+    if jax.process_count() > 1:
+        # multi-process: device_put onto a process-spanning sharding runs a
+        # cross-host consistency allgather whose gloo rendezvous times out
+        # (30s) under compile skew; make_array_from_callback builds the
+        # global array purely from local data — every host already holds
+        # the full (identically-initialized) value
+        def put(x: t.Any, s: NamedSharding) -> jax.Array:
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, s, lambda idx: host[idx]
+            )
+
+    else:
+        put = jax.device_put
+
+    def put_tree(tree: t.Any, shardings: t.Any) -> t.Any:
+        return jax.tree.map(put, tree, shardings)
+
     repl = NamedSharding(mesh, P())
     new = state.replace(
-        params=jax.device_put(state.params, param_shardings(mesh, state.params, min_size)),
-        opt_state=jax.device_put(
+        params=put_tree(
+            state.params, param_shardings(mesh, state.params, min_size)
+        ),
+        opt_state=put_tree(
             state.opt_state, param_shardings(mesh, state.opt_state, min_size)
         ),
     )
     if getattr(state, "batch_stats", None) is not None:
         new = new.replace(
-            batch_stats=jax.device_put(state.batch_stats, repl)
+            batch_stats=put_tree(
+                state.batch_stats,
+                jax.tree.map(lambda _: repl, state.batch_stats),
+            )
         )
     if getattr(state, "step", None) is not None:
-        new = new.replace(step=jax.device_put(state.step, repl))
+        new = new.replace(step=put(state.step, repl))
     return new
 
 
 def put_batch(batch: t.Any, mesh: t.Optional[Mesh]) -> t.Any:
     """Transfer a host batch to devices with the mesh layout (or plain
-    device_put without a mesh)."""
+    device_put without a mesh). Under jax.distributed the host batch is
+    this process's LOCAL shard (the loader decodes only its slice —
+    data/loader.py host-sharded loading) and the result is the assembled
+    GLOBAL sharded array."""
     if mesh is None:
         return jax.tree.map(jax.device_put, batch)
+    if jax.process_count() > 1:
+        from vision_mtl_tpu.parallel.multihost import global_batch_from_local
+
+        return global_batch_from_local(batch, mesh)
     return jax.device_put(batch, batch_sharding(mesh, batch))

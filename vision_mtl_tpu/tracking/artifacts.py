@@ -96,11 +96,30 @@ def load_artifacts_from_comet(
         if not hits:
             print(f"No asset found matching {prefix}")
             return None
+        multi = any(x["fileName"] != prefix for x in hits)
         for x in hits:
             rel = x["fileName"]
             rel = rel[len(prefix) :].lstrip("/")
+            if not rel and multi:
+                # an asset named exactly like the prefix ALONGSIDE
+                # prefix/<file> siblings: writing a FILE at dst_dir would
+                # shadow the directory those siblings populate
+                print(f"Skipping asset {x['fileName']!r}: names the "
+                      f"checkpoint dir itself, not a file within it")
+                continue
+            # asset names are remote-controlled: refuse anything that would
+            # escape dst_dir ('..' traversal / absolute)
+            if rel and (
+                os.path.isabs(rel)
+                or os.path.normpath(rel).split(os.sep)[0] == ".."
+            ):
+                print(f"Skipping asset {x['fileName']!r}: path escapes "
+                      f"the artifacts dir")
+                continue
+            # rel=='' with no siblings = a legacy flat single-file
+            # checkpoint; it downloads to dst_dir itself
             dst = os.path.join(dst_dir, rel) if rel else dst_dir
-            os.makedirs(os.path.dirname(dst) or dst_dir, exist_ok=True)
+            os.makedirs(os.path.dirname(dst) or os.path.dirname(dst_dir), exist_ok=True)
             api.download_experiment_asset(exp_api.id, x["assetId"], dst)
         return dst_dir
 
