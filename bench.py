@@ -10,6 +10,7 @@ docs/BENCH_NOTES.md for the derivation). Update it if a measured torch
 number becomes available.
 
 Usage: python bench.py [--quick] [--model basic|mtan|csnet] [--batch_size N]
+       python bench.py --all_models   # adds per-model rows to the JSON line
 """
 
 from __future__ import annotations
@@ -26,11 +27,91 @@ import numpy as np
 # hardware for the same workload (docs/BENCH_NOTES.md)
 BASELINE_IMGS_PER_SEC = 30.0
 
+# per-model sweet-spot batch sizes on v5e (measured bs sweeps,
+# docs/BENCH_NOTES.md; basic swept round 2, mtan/csnet round 3)
+DEFAULT_TPU_BS = {"basic": 128, "mtan": 128, "csnet": 128}
+
+
+def measure(
+    model_name: str,
+    bs: int,
+    steps: int,
+    warmup: int,
+    h: int,
+    w: int,
+    fold_tail: bool = False,
+    merge_heads: bool = True,
+) -> float:
+    """Measured train-step throughput (images/sec/chip) on device-resident
+    batches. Sync via a scalar fetch from the end of the dependency chain —
+    on the remote-attached TPU backend block_until_ready can return before
+    execution finishes, which silently turns timings into dispatch rates."""
+    from vision_mtl_tpu.cfg import cityscapes_data_cfg
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.models import build_model
+    from vision_mtl_tpu.train.state import create_train_state
+    from vision_mtl_tpu.train.step import make_train_step
+
+    num_classes = cityscapes_data_cfg.num_classes
+    model_args = argparse.Namespace(
+        model_name=model_name,
+        channel_wise_stitching=True,
+        fold_tail=fold_tail,
+        merge_heads=merge_heads,
+    )
+    model = build_model(model_args, cityscapes_data_cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    # small rotating pool of device-resident batches (isolates compute-path
+    # throughput from host decode; the input pipeline is benched separately)
+    pool = []
+    for _ in range(2):
+        pool.append(
+            {
+                "img": jnp.asarray(
+                    rng.uniform(size=(bs, h, w, 3)).astype(np.float32)
+                ),
+                "mask": jnp.asarray(
+                    rng.integers(0, num_classes, size=(bs, h, w)).astype(
+                        np.int32
+                    )
+                ),
+                "depth": jnp.asarray(
+                    rng.uniform(0.05, 1.0, size=(bs, h, w, 1)).astype(
+                        np.float32
+                    )
+                ),
+            }
+        )
+
+    state = create_train_state(
+        model, jax.random.key(0), pool[0]["img"], lr=5e-4
+    )
+    step = make_train_step(model, donate=False)
+    mstate = init_metrics(num_classes)
+
+    for i in range(warmup):
+        state, mstate, losses = step(state, pool[i % 2], mstate)
+    float(losses["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, mstate, losses = step(state, pool[i % 2], mstate)
+    float(losses["loss"])  # losses chain through state/mstate -> full sync
+    dt = time.perf_counter() - t0
+
+    return bs * steps / dt / len(jax.devices())
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--model", default="basic", choices=["basic", "mtan", "csnet"])
+    p.add_argument(
+        "--all_models", action="store_true",
+        help="bench all three models; the official line stays the flagship "
+        "(basic) value with a per_model breakdown added",
+    )
     p.add_argument("--batch_size", type=int, default=0, help="0 = auto")
     p.add_argument("--steps", type=int, default=0, help="0 = auto")
     p.add_argument("--height", type=int, default=128)
@@ -57,95 +138,52 @@ def main() -> None:
     except Exception:
         pass
 
-    from vision_mtl_tpu.cfg import cityscapes_data_cfg
-    from vision_mtl_tpu.metrics import init_metrics
-    from vision_mtl_tpu.models import build_model
-    from vision_mtl_tpu.train.state import create_train_state
-    from vision_mtl_tpu.train.step import make_train_step
-
-    devices = jax.devices()
-    on_tpu = devices[0].platform == "tpu"
-    num_classes = cityscapes_data_cfg.num_classes
-
-    if args.batch_size:
-        bs = args.batch_size
-    else:
-        bs = 128 if on_tpu else 4
+    on_tpu = jax.devices()[0].platform == "tpu"
     steps = args.steps or (5 if args.quick else 30)
     warmup = 2 if args.quick else 5
 
-    model_args = argparse.Namespace(
-        model_name=args.model,
-        channel_wise_stitching=True,
-        fold_tail=args.fold_tail,
-        merge_heads=args.merge_heads,
-    )
-    model = build_model(model_args, cityscapes_data_cfg, dtype=jnp.bfloat16)
+    def auto_bs(name: str) -> int:
+        if args.batch_size:
+            return args.batch_size
+        return DEFAULT_TPU_BS[name] if on_tpu else 4
 
-    h, w = args.height, args.width
-    rng = np.random.default_rng(0)
-    # small rotating pool of device-resident batches (isolates compute-path
-    # throughput from host decode; the input pipeline is benched separately)
-    pool = []
-    for i in range(2):
-        pool.append(
-            {
-                "img": jnp.asarray(
-                    rng.uniform(size=(bs, h, w, 3)).astype(np.float32)
-                ),
-                "mask": jnp.asarray(
-                    rng.integers(0, num_classes, size=(bs, h, w)).astype(
-                        np.int32
-                    )
-                ),
-                "depth": jnp.asarray(
-                    rng.uniform(0.05, 1.0, size=(bs, h, w, 1)).astype(
-                        np.float32
-                    )
-                ),
-            }
+    models = ["basic", "mtan", "csnet"] if args.all_models else [args.model]
+    results = {}
+    for name in models:
+        results[name] = round(
+            measure(
+                name,
+                auto_bs(name),
+                steps,
+                warmup,
+                args.height,
+                args.width,
+                fold_tail=args.fold_tail,
+                merge_heads=args.merge_heads,
+            ),
+            2,
         )
 
-    state = create_train_state(
-        model, jax.random.key(0), pool[0]["img"], lr=5e-4
-    )
-    step = make_train_step(model, donate=False)
-    mstate = init_metrics(num_classes)
-
-    # NOTE: sync via a scalar fetch from the end of the dependency chain —
-    # on the remote-attached TPU backend block_until_ready can return before
-    # execution finishes, which silently turns timings into dispatch rates.
-    for i in range(warmup):
-        state, mstate, losses = step(state, pool[i % 2], mstate)
-    float(losses["loss"])
-
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, mstate, losses = step(state, pool[i % 2], mstate)
-    float(losses["loss"])  # losses chain through state/mstate -> full sync
-    dt = time.perf_counter() - t0
-
-    imgs_per_sec = bs * steps / dt
-    n_chips = len(devices)
-    value = imgs_per_sec / n_chips
-
-    print(
-        json.dumps(
-            {
-                "metric": f"train images/sec/chip ({args.model}, {h}x{w} cityscapes MTL, bf16, bs{bs})",
-                "value": round(value, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 2),
-                # the reference publishes no throughput number; the baseline
-                # is a derived estimate for its documented 8GB-GPU hardware,
-                # anchored by a measured 1.54 img/s torch-CPU twin
-                # (docs/BENCH_NOTES.md)
-                "baseline_kind": "estimated",
-                "baseline_imgs_per_sec": BASELINE_IMGS_PER_SEC,
-                "measured_torch_cpu_anchor_imgs_per_sec": 1.54,
-            }
-        )
-    )
+    flagship = "basic" if args.all_models else args.model
+    value = results[flagship]
+    payload = {
+        "metric": (
+            f"train images/sec/chip ({flagship}, {args.height}x{args.width} "
+            f"cityscapes MTL, bf16, bs{auto_bs(flagship)})"
+        ),
+        "value": value,
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 2),
+        # the reference publishes no throughput number; the baseline is a
+        # derived estimate for its documented 8GB-GPU hardware, anchored by
+        # a measured 1.54 img/s torch-CPU twin (docs/BENCH_NOTES.md)
+        "baseline_kind": "estimated",
+        "baseline_imgs_per_sec": BASELINE_IMGS_PER_SEC,
+        "measured_torch_cpu_anchor_imgs_per_sec": 1.54,
+    }
+    if args.all_models:
+        payload["per_model"] = results
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -54,10 +54,29 @@ def _convt_w(kernel):
 # step's use_running_average=False); the forward/grad parity tests here use
 # eval-mode BN against randomized running stats.
 BN_TRAIN = False
+# with BN_TRAIN also tracking=True: train-mode BN ADDITIONALLY updates the
+# provided running-stat tensors in place (torch nn.BatchNorm training
+# semantics — used by the end-to-end generalization twin loop,
+# test_twin_generalization.py, whose eval epochs then consume the stats)
+BN_TRACK = False
+
+
+def _tracking(s) -> bool:
+    return (
+        BN_TRACK
+        and s is not None
+        and not isinstance(s, _NullStats)
+    )
 
 
 def _bn_eval(x, p, s):
     if BN_TRAIN:
+        if _tracking(s):
+            # running stats must be torch tensors (updated in place)
+            return F.batch_norm(
+                x, _t(s["mean"]), _t(s["var"]), _t(p["scale"]), _t(p["bias"]),
+                True, 0.1, 1e-5,
+            )
         return F.batch_norm(
             x, None, None, _t(p["scale"]), _t(p["bias"]), True, 0.1, 1e-5
         )
@@ -128,6 +147,11 @@ def _gate(x, shared, p, s):
     (reference mtan_model.py:31-43 enc / 105-117 dec)."""
     def bn(z, i):
         if BN_TRAIN:
+            if _tracking(s):
+                return F.batch_norm(
+                    z, _t(s[f"mean{i}"]), _t(s[f"var{i}"]),
+                    _t(p[f"scale{i}"]), _t(p[f"bias{i}"]), True, 0.1, 1e-5,
+                )
             return F.batch_norm(
                 z, None, None, _t(p[f"scale{i}"]), _t(p[f"bias{i}"]),
                 True, 0.1, 1e-5,
@@ -351,6 +375,11 @@ def _torch_encoder_stages(x, sd):
 
     def bn(z, p):
         if BN_TRAIN:
+            if BN_TRACK:
+                return F.batch_norm(
+                    z, T(f"{p}.running_mean"), T(f"{p}.running_var"),
+                    T(f"{p}.weight"), T(f"{p}.bias"), True, 0.1, 1e-5,
+                )
             return F.batch_norm(
                 z, None, None, T(f"{p}.weight"), T(f"{p}.bias"),
                 True, 0.1, 1e-5,
