@@ -6,7 +6,12 @@ import pytest
 
 import jax.numpy as jnp
 
-from vision_mtl_tpu.losses import cross_entropy_loss, mtl_loss, silog_loss
+from vision_mtl_tpu.losses import (
+    calc_loss,
+    cross_entropy_loss,
+    mtl_loss,
+    silog_loss,
+)
 
 torch = pytest.importorskip("torch")
 
@@ -69,3 +74,26 @@ def test_mtl_loss_weighting(rng):
     assert float(out["loss"]) == pytest.approx(
         0.3 * float(out["loss_segm"]) + 0.7 * float(out["loss_depth"]), rel=1e-6
     )
+
+
+def test_calc_loss_parity_shim(rng):
+    # calc_loss (API parity with reference loss_utils.py:8-24): sigmoid on
+    # raw depth logits, unweighted CE + SILog sum
+    logits = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(1, 8, 8))
+    depth_logits = rng.normal(size=(1, 8, 8, 1)).astype(np.float32)
+    depth_gt = rng.uniform(0.1, 1.0, size=(1, 8, 8, 1)).astype(np.float32)
+    got = float(
+        calc_loss(
+            {"segm": jnp.asarray(logits), "depth": jnp.asarray(depth_logits)},
+            jnp.asarray(labels),
+            jnp.asarray(depth_gt),
+        )
+    )
+    ref = mtl_loss(
+        jnp.asarray(logits),
+        jnp.asarray(1.0 / (1.0 + np.exp(-depth_logits))),
+        jnp.asarray(labels),
+        jnp.asarray(depth_gt),
+    )
+    assert got == pytest.approx(float(ref["loss"]), rel=1e-5)

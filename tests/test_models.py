@@ -111,3 +111,17 @@ def test_csnet_upsample_skips_non_divisible_input():
     )
     assert out["segm"].shape == (1, 144, 160, 5)
     assert out["depth"].shape == (1, 144, 160, 1)
+
+
+def test_get_joint_layer_names_inventory():
+    # parity shim for reference model_utils.py:83-97: one stitch-eligible
+    # position per encoder stage + per decoder block, forward order,
+    # matching the 11 stitch units CSNet actually instantiates
+    from vision_mtl_tpu.models.cross_stitch import get_joint_layer_names
+
+    names = get_joint_layer_names()
+    assert len(names) == 11
+    assert names[0].startswith("encoder.") and names[-1].startswith("decoder.")
+    assert [n for n in names if "encoder" in n] == [
+        f"encoder.stage{i}" for i in range(6)
+    ]

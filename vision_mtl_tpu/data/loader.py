@@ -142,6 +142,13 @@ class DataLoader:
                 f"global batch_size {self.batch_size} must divide by "
                 f"process_count {pc} for host-sharded loading"
             )
+            # a ragged global batch cannot be row-sliced consistently
+            # across hosts; every factory in datamodule.py sets one of
+            # these (train: drop_last, eval: pad_last)
+            assert self.drop_last or self.pad_last, (
+                "host-sharded loading needs static global batches: "
+                "construct the DataLoader with drop_last or pad_last"
+            )
         per = self.batch_size // pc
 
         if self.num_workers > 0:

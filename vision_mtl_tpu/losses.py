@@ -102,6 +102,26 @@ def silog_loss(
     return 10.0 * jnp.sqrt(jnp.maximum(dg, 0.0))
 
 
+def calc_loss(
+    out: t.Dict[str, jax.Array],
+    gt_mask: jax.Array,
+    gt_depth: jax.Array,
+    segm_criterion: t.Callable[..., jax.Array] = cross_entropy_loss,
+    depth_criterion: t.Callable[..., jax.Array] = silog_loss,
+) -> jax.Array:
+    """Standalone unweighted loss combiner — API-parity shim for the
+    reference's unused ``loss_utils.calc_loss`` (loss_utils.py:8-24): takes
+    the raw model output dict, applies sigmoid to the depth logits, and sums
+    CE + SILog with unit weights. The reference also permutes depth
+    NCHW->NHWC; outputs here are already NHWC. The pipeline itself uses
+    :func:`mtl_loss` (weighted), as the reference pipeline uses its
+    lit_module path."""
+    loss_segm = segm_criterion(out["segm"], gt_mask)
+    depth_pred = jax.nn.sigmoid(out["depth"].astype(jnp.float32))
+    loss_depth = depth_criterion(depth_pred, gt_depth)
+    return loss_segm + loss_depth
+
+
 def mtl_loss(
     segm_logits: jax.Array,
     depth_pred: jax.Array,

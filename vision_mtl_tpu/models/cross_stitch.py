@@ -54,6 +54,20 @@ from vision_mtl_tpu.models.unet_decoder import (
 from vision_mtl_tpu.ops.interpolate import pad_to_match, upsample_nearest_2x
 
 
+def get_joint_layer_names(num_decoder_layers: int = 5) -> t.List[str]:
+    """Names of the stitch-eligible positions in CSNet, in forward order —
+    API-parity shim for the reference's unused
+    ``model_utils.get_joint_layer_names`` (model_utils.py:83-97). The
+    reference filtered torch ``named_modules`` strings (one encoder block /
+    decoder block per level); here stitch positions are first-class modules
+    (see the module docstring for the topology mapping), so the names
+    enumerate them directly: one per encoder stage entry (timm blocks 1..6
+    == post-stage 0..5) and one per decoder block entry."""
+    enc = [f"encoder.stage{i}" for i in range(NUM_STAGES)]
+    dec = [f"decoder.block{i}" for i in range(num_decoder_layers)]
+    return enc + dec
+
+
 class CrossStitchLayer(nn.Module):
     """Learnable (T,T) or (T,T,C) stitch unit, uniform[0,1) init (reference
     cross_stitch_model.py:15-37). Applied to a stacked (T, B, H, W, C) tensor.

@@ -119,7 +119,9 @@ def load_artifacts_from_comet(
             # rel=='' with no siblings = a legacy flat single-file
             # checkpoint; it downloads to dst_dir itself
             dst = os.path.join(dst_dir, rel) if rel else dst_dir
-            os.makedirs(os.path.dirname(dst) or os.path.dirname(dst_dir), exist_ok=True)
+            # dst's parent must exist ('.' covers a bare relative dst_dir
+            # in the legacy flat single-file case, where dst == dst_dir)
+            os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
             api.download_experiment_asset(exp_api.id, x["assetId"], dst)
         return dst_dir
 
