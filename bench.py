@@ -41,6 +41,8 @@ def measure(
     w: int,
     fold_tail: bool = False,
     merge_heads: bool = True,
+    remat_tail: int = 0,
+    remat_encoder: bool = False,
 ) -> float:
     """Measured train-step throughput (images/sec/chip) on device-resident
     batches. Sync via a scalar fetch from the end of the dependency chain —
@@ -58,6 +60,8 @@ def measure(
         channel_wise_stitching=True,
         fold_tail=fold_tail,
         merge_heads=merge_heads,
+        remat_tail=remat_tail,
+        remat_encoder=remat_encoder,
     )
     model = build_model(model_args, cityscapes_data_cfg, dtype=jnp.bfloat16)
 
@@ -125,6 +129,17 @@ def main() -> None:
         "--no_merge_heads", dest="merge_heads", action="store_false",
         help="disable the fused two-head conv (basic model)",
     )
+    p.add_argument(
+        "--remat_tail", type=int, default=0,
+        help="rematerialize the final N decoder blocks (basic model) — "
+        "memory opt-in; lets larger batches fit at high resolution "
+        "(docs/BENCH_NOTES.md)",
+    )
+    p.add_argument(
+        "--remat_encoder", action="store_true",
+        help="rematerialize every encoder block (basic model) — the "
+        "high-resolution memory opt-in (docs/BENCH_NOTES.md round-3)",
+    )
     args = p.parse_args()
 
     try:
@@ -160,6 +175,8 @@ def main() -> None:
                 args.width,
                 fold_tail=args.fold_tail,
                 merge_heads=args.merge_heads,
+                remat_tail=args.remat_tail,
+                remat_encoder=args.remat_encoder,
             ),
             2,
         )

@@ -7,7 +7,8 @@ Times (honest scalar-fetch sync, device-resident input, bs128 128x256 bf16):
   full(train)    — train mode with BN batch stats (mutable)
   decoder levels — cumulative: decoder truncated after k blocks
 
-Usage: python scripts/dissect_fwd.py [--steps 30]
+Usage: python scripts/dissect_fwd.py [--steps 30] [--batch_size N]
+       [--height H] [--width W]
 """
 
 from __future__ import annotations
@@ -42,6 +43,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--width", type=int, default=256)
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
@@ -51,7 +54,7 @@ def main():
     from vision_mtl_tpu.models.mobilenetv3 import MobileNetV3Encoder
     from vision_mtl_tpu.models.unet_decoder import UnetDecoder, decoder_channels
 
-    bs, h, w = args.batch_size, 128, 256
+    bs, h, w = args.batch_size, args.height, args.width
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(size=(bs, h, w, 3)).astype(np.float32))
     dt = jnp.bfloat16

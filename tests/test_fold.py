@@ -297,3 +297,58 @@ def test_basic_model_remat_tail_parity(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_basic_model_remat_encoder_parity(rng):
+    """remat_encoder (the high-resolution memory opt-in — BENCH_NOTES
+    round-3: makes native-res 1024x2048 training fit on one chip) must be
+    transparent: identical param tree, bit-identical eval forward, train
+    gradients/BN-stat updates equal up to recompute reassociation."""
+    from vision_mtl_tpu.models.basic import BasicMTLModel
+
+    x = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)).astype(np.float32))
+    m0 = BasicMTLModel(segm_classes=5, decoder_first_channel=16, dtype=jnp.float32)
+    m1 = BasicMTLModel(
+        segm_classes=5,
+        decoder_first_channel=16,
+        remat_encoder=True,
+        dtype=jnp.float32,
+    )
+    v0 = m0.init(jax.random.key(3), x, train=False)
+    v1 = m1.init(jax.random.key(3), x, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    o0 = m0.apply(v0, x, train=False)
+    o1 = m1.apply(v0, x, train=False)
+    for k in ("segm", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(o0[k]), np.asarray(o1[k]), rtol=1e-6, atol=1e-7, err_msg=k
+        )
+
+    def loss(m, v):
+        def f(params):
+            out, mut = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return (
+                jnp.sum(out["segm"] ** 2) + jnp.sum(out["depth"] ** 2),
+                mut["batch_stats"],
+            )
+        # jit both sides; the rematerialized backward still reassociates a
+        # handful of reductions (measured: <=0.005% of elements, abs diff
+        # <=5e-5 on gradients of magnitude O(10)), so the bound is loose in
+        # atol but tight relative to gradient scale
+        return jax.jit(jax.grad(f, has_aux=True))(v["params"])
+
+    (g0, bs0), (g1, bs1) = loss(m0, v0), loss(m1, v0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4
+        )
+    for a, b in zip(jax.tree.leaves(bs0), jax.tree.leaves(bs1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

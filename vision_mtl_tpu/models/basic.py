@@ -33,6 +33,7 @@ class Backbone(nn.Module):
     num_decoder_layers: int = 5
     fold_tail: bool = False
     remat_tail: int = 0
+    remat_encoder: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @property
@@ -41,7 +42,9 @@ class Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        feats = MobileNetV3Encoder(dtype=self.dtype, name="encoder")(x, train)
+        feats = MobileNetV3Encoder(
+            dtype=self.dtype, remat=self.remat_encoder, name="encoder"
+        )(x, train)
         return UnetDecoder(
             self.decoder_channels,
             fold_tail=self.fold_tail,
@@ -86,6 +89,9 @@ class BasicMTLModel(nn.Module):
     fold_tail: bool = False
     # remat the final N decoder blocks (see UnetDecoder.remat_tail)
     remat_tail: int = 0
+    # remat every encoder block (see MobileNetV3Encoder.remat) — the
+    # memory opt-in that matters at high resolution
+    remat_encoder: bool = False
     # fuse the two 3x3 heads into one conv (exact; measured faster)
     merge_heads: bool = True
     dtype: t.Any = jnp.bfloat16
@@ -103,6 +109,7 @@ class BasicMTLModel(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             fold_tail=fold_tail,
             remat_tail=self.remat_tail,
+            remat_encoder=self.remat_encoder,
             dtype=self.dtype,
             name="backbone",
         )

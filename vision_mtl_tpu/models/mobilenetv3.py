@@ -136,14 +136,29 @@ class MobileNetV3Encoder(nn.Module):
     """
 
     dtype: t.Any = jnp.bfloat16
+    # rematerialize each inverted-residual block in the backward pass:
+    # only block BOUNDARIES (<=160 ch) stay live for the gradient instead of
+    # the expanded internals (up to 960 ch at /16 — the dominant activation
+    # memory at high resolution). Cost: one extra forward per block during
+    # backward. Measured win at high resolution where HBM capacity caps the
+    # batch dim and the batch dim caps pixel throughput
+    # (docs/BENCH_NOTES.md round-3 "the batch-dim pixel-rate law").
+    # Param tree is identical either way (lifted transform; names come from
+    # the setup attribute path).
+    remat: bool = False
 
     def setup(self) -> None:
         self.conv_stem = Conv(
             16, (3, 3), strides=(2, 2), use_bias=False, dtype=self.dtype
         )
+        block_cls: t.Any = InvertedResidual
+        if self.remat:
+            # static_argnums counts the module instance as arg 0; arg 2 is
+            # the concrete `train` bool (BatchNorm branches on it)
+            block_cls = nn.remat(InvertedResidual, static_argnums=(2,))
         self.stages = [
             [
-                InvertedResidual(spec, dtype=self.dtype)
+                block_cls(spec, dtype=self.dtype)
                 for spec in stage
             ]
             for stage in MOBILENETV3_LARGE_SPECS

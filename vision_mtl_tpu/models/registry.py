@@ -35,6 +35,9 @@ def build_model(
             # memory-saving remat of the final N decoder blocks (measured
             # slower on v5e — BENCH_NOTES; for configs that would OOM)
             remat_tail=getattr(args, "remat_tail", 0),
+            # per-block encoder remat: the memory opt-in that pays at high
+            # resolution (unlocks larger batch dims — BENCH_NOTES round 3)
+            remat_encoder=getattr(args, "remat_encoder", False),
             merge_heads=getattr(args, "merge_heads", True),
             dtype=dtype,
         )

@@ -112,6 +112,14 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         "that would otherwise OOM.",
     )
     tpu_args.add_argument(
+        "--remat_encoder",
+        action="store_true",
+        help="Rematerialize every encoder block (basic model): only block "
+        "boundaries stay live for backward. The high-resolution memory "
+        "opt-in — unlocks larger batch dims, which set the pixel rate "
+        "(docs/BENCH_NOTES.md round-3).",
+    )
+    tpu_args.add_argument(
         "--grad_accum_steps",
         type=int,
         default=1,
