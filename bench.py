@@ -43,6 +43,7 @@ def measure(
     merge_heads: bool = True,
     remat_tail: int = 0,
     remat_encoder: bool = False,
+    grad_accum_steps: int = 1,
 ) -> float:
     """Measured train-step throughput (images/sec/chip) on device-resident
     batches. Sync via a scalar fetch from the end of the dependency chain —
@@ -91,7 +92,9 @@ def measure(
     state = create_train_state(
         model, jax.random.key(0), pool[0]["img"], lr=5e-4
     )
-    step = make_train_step(model, donate=False)
+    step = make_train_step(
+        model, donate=False, grad_accum_steps=grad_accum_steps
+    )
     mstate = init_metrics(num_classes)
 
     for i in range(warmup):
@@ -140,6 +143,12 @@ def main() -> None:
         help="rematerialize every encoder block (basic model) — the "
         "high-resolution memory opt-in (docs/BENCH_NOTES.md round-3)",
     )
+    p.add_argument(
+        "--grad_accum_steps", type=int, default=1,
+        help="microbatches per optimizer step (lax.scan inside the "
+        "compiled program; ghost-BN semantics) — peak activation memory "
+        "scales with batch_size/grad_accum_steps",
+    )
     args = p.parse_args()
 
     try:
@@ -177,6 +186,7 @@ def main() -> None:
                 merge_heads=args.merge_heads,
                 remat_tail=args.remat_tail,
                 remat_encoder=args.remat_encoder,
+                grad_accum_steps=args.grad_accum_steps,
             ),
             2,
         )
