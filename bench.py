@@ -43,6 +43,8 @@ def measure(
     merge_heads: bool = True,
     remat_tail: int = 0,
     remat_encoder: bool = False,
+    remat_attention: bool = False,
+    remat_shared: bool = False,
     grad_accum_steps: int = 1,
 ) -> float:
     """Measured train-step throughput (images/sec/chip) on device-resident
@@ -63,6 +65,8 @@ def measure(
         merge_heads=merge_heads,
         remat_tail=remat_tail,
         remat_encoder=remat_encoder,
+        remat_attention=remat_attention,
+        remat_shared=remat_shared,
     )
     model = build_model(model_args, cityscapes_data_cfg, dtype=jnp.bfloat16)
 
@@ -144,6 +148,16 @@ def main() -> None:
         "high-resolution memory opt-in (docs/BENCH_NOTES.md round-3)",
     )
     p.add_argument(
+        "--remat_attention", action="store_true",
+        help="rematerialize MTAN's per-task attention modules (memory "
+        "opt-in — docs/BENCH_NOTES.md)",
+    )
+    p.add_argument(
+        "--remat_shared", action="store_true",
+        help="rematerialize MTAN's shared mini-Unet DoubleConvs "
+        "(high-resolution memory opt-in)",
+    )
+    p.add_argument(
         "--grad_accum_steps", type=int, default=1,
         help="microbatches per optimizer step (lax.scan inside the "
         "compiled program; ghost-BN semantics) — peak activation memory "
@@ -186,6 +200,8 @@ def main() -> None:
                 merge_heads=args.merge_heads,
                 remat_tail=args.remat_tail,
                 remat_encoder=args.remat_encoder,
+                remat_attention=args.remat_attention,
+                remat_shared=args.remat_shared,
                 grad_accum_steps=args.grad_accum_steps,
             ),
             2,

@@ -352,3 +352,65 @@ def test_basic_model_remat_encoder_parity(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_csnet_mtan_remat_flags_transparent(rng):
+    """The remat memory opt-ins must be architecture-transparent for csnet
+    (remat_encoder — both task encoders) and mtan (remat_attention):
+    identical param tree and bit-identical eval forward. (Gradient-level
+    remat parity is covered on basic above; the lifted transform is the
+    same.)"""
+    from vision_mtl_tpu.models.cross_stitch import CSNet
+    from vision_mtl_tpu.models.mtan import MTANMiniUnet
+
+    x = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)).astype(np.float32))
+    pairs = [
+        (
+            CSNet(
+                task_channels={"depth": 1, "segm": 5},
+                decoder_first_channel=16,
+                dtype=jnp.float32,
+            ),
+            CSNet(
+                task_channels={"depth": 1, "segm": 5},
+                decoder_first_channel=16,
+                remat_encoder=True,
+                remat_tail=2,
+                dtype=jnp.float32,
+            ),
+        ),
+        (
+            MTANMiniUnet(
+                map_tasks_to_num_channels={"depth": 1, "segm": 5},
+                task_subnets_hidden_channels=8,
+                encoder_first_channel=8,
+                encoder_num_channels=3,
+                dtype=jnp.float32,
+            ),
+            MTANMiniUnet(
+                map_tasks_to_num_channels={"depth": 1, "segm": 5},
+                task_subnets_hidden_channels=8,
+                encoder_first_channel=8,
+                encoder_num_channels=3,
+                remat_attention=True,
+                remat_shared=True,
+                dtype=jnp.float32,
+            ),
+        ),
+    ]
+    for m0, m1 in pairs:
+        v0 = m0.init(jax.random.key(7), x, train=False)
+        v1 = m1.init(jax.random.key(7), x, train=False)
+        assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+        for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        o0 = jax.jit(lambda v, m=m0: m.apply(v, x, train=False))(v0)
+        o1 = jax.jit(lambda v, m=m1: m.apply(v, x, train=False))(v0)
+        for k in ("segm", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(o0[k]),
+                np.asarray(o1[k]),
+                rtol=1e-6,
+                atol=1e-7,
+                err_msg=f"{type(m0).__name__}/{k}",
+            )

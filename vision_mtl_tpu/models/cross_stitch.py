@@ -117,6 +117,13 @@ class CSNet(nn.Module):
     channel_wise_stitching: bool = True
     full_mix: bool = False
     upsample_skips: bool = False
+    # per-block remat of both task encoders (MobileNetV3Encoder.remat) —
+    # the high-resolution memory opt-in; the stitched run_stem/run_stage
+    # path uses the same wrapped blocks (docs/BENCH_NOTES.md round-3)
+    remat_encoder: bool = False
+    # remat the final N decoder blocks of EACH task decoder (the csnet
+    # counterpart of UnetDecoder.remat_tail — full-res activations dominate)
+    remat_tail: int = 0
     dtype: t.Any = jnp.bfloat16
 
     def setup(self) -> None:
@@ -126,12 +133,20 @@ class CSNet(nn.Module):
         skip_ch = [16, 24, 40, 112]  # outputs of stages 0,1,2,4
 
         self.encoders = [
-            MobileNetV3Encoder(dtype=self.dtype) for _ in self.task_names
+            MobileNetV3Encoder(dtype=self.dtype, remat=self.remat_encoder)
+            for _ in self.task_names
         ]
+        def dec_block_cls(d: int) -> t.Any:
+            if d >= self.num_decoder_layers - self.remat_tail:
+                # static_argnums: module instance is arg 0; arg 3 is the
+                # concrete `train` bool
+                return nn.remat(DecoderBlock, static_argnums=(3,))
+            return DecoderBlock
+
         self.decoders = [
             [
-                DecoderBlock(out_ch, upsample=False, dtype=self.dtype)
-                for out_ch in dch
+                dec_block_cls(d)(out_ch, upsample=False, dtype=self.dtype)
+                for d, out_ch in enumerate(dch)
             ]
             for _ in self.task_names
         ]

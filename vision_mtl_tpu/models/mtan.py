@@ -230,6 +230,10 @@ class MTANMiniUnet(nn.Module):
     # inputs re-read for recompute outweigh the saved hidden activations.
     # Kept as an option for memory-constrained configs.
     remat_attention: bool = False
+    # rematerialize the shared mini-Unet DoubleConvs (enc levels,
+    # bottleneck, dec levels) — the other half of MTAN's activation
+    # memory; for high-resolution configs that otherwise cannot compile
+    remat_shared: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
@@ -244,6 +248,10 @@ class MTANMiniUnet(nn.Module):
         if self.remat_attention:
             AttnEnc = nn.remat(AttentionModuleEncoder, static_argnums=(4,))
             AttnDec = nn.remat(AttentionModuleDecoder, static_argnums=(4,))
+        DConv = DoubleConv
+        if self.remat_shared:
+            # static_argnums: module instance is arg 0; arg 2 is `train`
+            DConv = nn.remat(DoubleConv, static_argnums=(2,))
 
         enc_out = [
             self.encoder_first_channel * (2**i)
@@ -257,7 +265,7 @@ class MTANMiniUnet(nn.Module):
         encoder_features: t.List[jax.Array] = []
         for i, ch in enumerate(enc_out):
             level_in = shared
-            dconv_out = DoubleConv(ch, dtype=self.dtype, name=f"enc_dconv_{i}")(
+            dconv_out = DConv(ch, dtype=self.dtype, name=f"enc_dconv_{i}")(
                 level_in, train
             )
             new_streams: t.List[jax.Array] = []
@@ -276,7 +284,7 @@ class MTANMiniUnet(nn.Module):
             shared = max_pool_2x(dconv_out)
 
         # ---- bottleneck ----
-        shared = DoubleConv(
+        shared = DConv(
             enc_out[-1] * 2, dtype=self.dtype, name="bottleneck"
         )(shared, train)
 
@@ -294,7 +302,7 @@ class MTANMiniUnet(nn.Module):
             )(shared)
             skip = encoder_features[-(i + 1)]
             merged = pad_concat(up, skip.astype(up.dtype))
-            conv_out = DoubleConv(ch, dtype=self.dtype, name=f"dec_dconv_{i}")(
+            conv_out = DConv(ch, dtype=self.dtype, name=f"dec_dconv_{i}")(
                 merged, train
             )
             new_streams = []

@@ -52,6 +52,10 @@ def build_model(
             task_subnets_hidden_channels=128,
             encoder_first_channel=32,
             encoder_num_channels=4,
+            # memory opt-ins: measured slower at bs128/128x256 (BENCH_NOTES)
+            # but let activation-capped configs compile at all
+            remat_attention=getattr(args, "remat_attention", False),
+            remat_shared=getattr(args, "remat_shared", False),
             dtype=dtype,
         )
     if model_name == "csnet":
@@ -62,6 +66,11 @@ def build_model(
             decoder_first_channel=256,
             num_decoder_layers=5,
             channel_wise_stitching=getattr(args, "channel_wise_stitching", True),
+            # same high-resolution memory opt-ins as basic's (both task
+            # encoders are MobileNetV3Encoders; remat_tail wraps the final
+            # N blocks of each task decoder)
+            remat_encoder=getattr(args, "remat_encoder", False),
+            remat_tail=getattr(args, "remat_tail", 0),
             dtype=dtype,
         )
     raise NotImplementedError(f"Unknown model name: {model_name}")

@@ -114,10 +114,23 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
     tpu_args.add_argument(
         "--remat_encoder",
         action="store_true",
-        help="Rematerialize every encoder block (basic model): only block "
-        "boundaries stay live for backward. The high-resolution memory "
-        "opt-in — unlocks larger batch dims, which set the pixel rate "
-        "(docs/BENCH_NOTES.md round-3).",
+        help="Rematerialize every encoder block (basic and csnet models): "
+        "only block boundaries stay live for backward. The high-resolution "
+        "memory opt-in — unlocks larger batch dims, which set the pixel "
+        "rate (docs/BENCH_NOTES.md round-3).",
+    )
+    tpu_args.add_argument(
+        "--remat_attention",
+        action="store_true",
+        help="Rematerialize MTAN's per-task attention modules in backward "
+        "(memory opt-in; measured slower at 128x256 bs128 but lets "
+        "activation-capped configs compile — docs/BENCH_NOTES.md).",
+    )
+    tpu_args.add_argument(
+        "--remat_shared",
+        action="store_true",
+        help="Rematerialize MTAN's shared mini-Unet DoubleConvs (the other "
+        "half of its activation memory — high-resolution opt-in).",
     )
     tpu_args.add_argument(
         "--grad_accum_steps",
