@@ -59,3 +59,70 @@ def test_param_shardings_tp_axis(rng):
     # data-only mesh -> everything replicated
     s2 = param_shardings(create_mesh("data:8"), params)
     assert s2["big_kernel"].spec == jax.sharding.PartitionSpec()
+
+
+class _FakeDev:
+    def __init__(self, process_index):
+        self.process_index = process_index
+
+
+def _fake_mesh(shape, axis_names, pids):
+    """Duck-typed mesh: .devices ndarray of objects w/ process_index,
+    .axis_names — all process_spanning_axes reads."""
+    import types
+
+    devs = np.array([_FakeDev(p) for p in pids], object).reshape(shape)
+    return types.SimpleNamespace(devices=devs, axis_names=axis_names)
+
+
+def test_process_spanning_axes():
+    from vision_mtl_tpu.parallel.mesh import process_spanning_axes
+
+    # 2 processes over the data axis of data:4,spatial:2 (row-major mesh:
+    # process boundary between data coords 1|2) -> only 'data' spans
+    m = _fake_mesh((4, 2), ("data", "spatial"), [0, 0, 0, 0, 1, 1, 1, 1])
+    assert process_spanning_axes(m) == ("data",)
+
+    # 2 processes over the SPATIAL axis (each data coord split across
+    # processes) -> 'spatial' spans; row-sliced loading would mis-assemble
+    m = _fake_mesh((4, 2), ("data", "spatial"), [0, 1, 0, 1, 0, 1, 0, 1])
+    assert process_spanning_axes(m) == ("spatial",)
+
+    # single process -> nothing spans
+    m = _fake_mesh((4, 2), ("data", "spatial"), [0] * 8)
+    assert process_spanning_axes(m) == ()
+
+    # real single-process mesh object works too
+    assert process_spanning_axes(create_mesh("data:4,spatial:2")) == ()
+
+
+def test_loader_full_batch_mode(monkeypatch, rng):
+    """shard_rows=False must decode the FULL global batch on every 'host'
+    (identical across processes — required for process-spanning
+    spatial/model meshes), vs the default 1/process_count row slice."""
+    from vision_mtl_tpu.data.loader import DataLoader
+    from vision_mtl_tpu.data.synthetic import SyntheticMTLDataset
+
+    ds = SyntheticMTLDataset(stage="train")
+    ds.length = 8
+    shards = []
+    for pid in (0, 1):
+        monkeypatch.setattr(
+            DataLoader, "_process_shard", staticmethod(lambda p=pid: (p, 2))
+        )
+        row = next(iter(DataLoader(ds, batch_size=4, drop_last=True)))
+        full = next(
+            iter(
+                DataLoader(ds, batch_size=4, drop_last=True, shard_rows=False)
+            )
+        )
+        assert row["img"].shape[0] == 2  # this host's row slice
+        assert full["img"].shape[0] == 4  # the whole global batch
+        shards.append((row, full))
+    (row0, full0), (row1, full1) = shards
+    # full-batch mode: bitwise identical on every host
+    np.testing.assert_array_equal(full0["img"], full1["img"])
+    # row mode: disjoint halves of the same global batch
+    np.testing.assert_array_equal(
+        np.concatenate([row0["img"], row1["img"]]), full0["img"]
+    )

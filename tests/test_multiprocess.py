@@ -109,7 +109,7 @@ def test_two_process_full_pipeline(tmp_path):
     # both processes observed IDENTICAL metric streams (true SPMD)
     for k in ("a_train_loss", "a_val_loss", "a_val_acc", "b1_train_loss",
               "resumed_train_loss", "resumed_val_loss", "resumed_val_acc"):
-        np.testing.assert_allclose(r0[k], r1[k], rtol=0, atol=0), k
+        np.testing.assert_allclose(r0[k], r1[k], rtol=0, atol=0, err_msg=k)
 
     # the interrupted+resumed run reproduces the uninterrupted run's tail
     assert len(r0["a_train_loss"]) == 3 and len(r0["resumed_train_loss"]) == 1

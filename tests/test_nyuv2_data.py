@@ -70,7 +70,8 @@ def test_cache_batch_matches_python_path(nyu_tree):
     spec = ResizeSpec(32, 32, antialias=True)
     ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
     assert ds.load_batch([0, 1]) is None  # no cache yet -> python fallback
-    ds._cache_checked = False
+    # build_cache resets the latched cache-miss probe: the SAME instance
+    # must pick up the fresh cache on its next load_batch
     build_cache(ds)
     idxs = [3, 0, 2]
     batch = ds.load_batch(idxs)
@@ -119,7 +120,6 @@ def test_cache_loader_integration(nyu_tree):
     spec = ResizeSpec(32, 32, antialias=True)
     ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
     build_cache(ds)
-    ds._cache_checked = False
 
     class _NoBatch:
         def __init__(self, inner):

@@ -84,6 +84,43 @@ def test_median_pruner_semantics():
         p.report(1, 0.65)  # epoch 1 median is 0.7
 
 
+def test_fallback_pruner_prunes_with_sparse_val_epochs(monkeypatch):
+    """Regression: with --val_epoch_freq 2 the epoch_callback fires only at
+    epoch 1, so comparing at the ABSOLUTE epoch index never matches the
+    single-entry completed histories and pruning silently turns off; report
+    ordinals keep the positions aligned."""
+    pruned = []
+
+    def fake_trial(args, data_cfg, weights, mesh, tag, epoch_callback=None):
+        # one validation per 3-epoch trial (val_epoch_freq=2 -> epoch 1)
+        acc = weights["loss_segm_weight"]
+        if epoch_callback is not None:
+            try:
+                epoch_callback(1, {"accuracy": acc})
+            except tuning.TrialPruned:
+                pruned.append(tag)
+                raise
+        return acc
+
+    monkeypatch.setattr(tuning, "_run_trial", fake_trial)
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_optuna(name, *a, **k):
+        if name == "optuna":
+            raise ImportError
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_optuna)
+    args = argparse.Namespace(
+        n_trials=8, n_jobs=1, num_epochs=3, seed=11,
+        loss_segm_weight=1.0, loss_depth_weight=1.0,
+    )
+    tuning.run_study(args, fetch_data_cfg("synthetic"))
+    assert pruned  # below-median trials stop at their first (only) report
+
+
 def test_fallback_pruner_stops_bad_trial(monkeypatch):
     """A bad trial is pruned before its 3-epoch budget (VERDICT r2 #7):
     after the two startup trials complete, a trial reporting below-median

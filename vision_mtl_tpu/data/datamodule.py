@@ -35,6 +35,23 @@ def _make_dataset(dataset_name: str, stage: str, transforms: t.Any) -> MTLDatase
     raise ValueError(f"Unknown dataset name {dataset_name}")
 
 
+def configure_host_sharded_loading(datamodule: t.Any, mesh: t.Any) -> None:
+    """Pick the multi-process loader mode for ``mesh``: row-sliced
+    host-sharded decoding when processes span only the data axis (each host
+    decodes 1/process_count of every batch), full-batch decoding otherwise
+    (spatial/model process-spanning shards are not row ranges — see
+    parallel/multihost.global_batch_from_local). Call before creating
+    loaders; no-op single-process or without a mesh."""
+    import jax
+
+    if mesh is None or jax.process_count() == 1:
+        return
+    from vision_mtl_tpu.parallel.mesh import process_spanning_axes
+
+    if set(process_spanning_axes(mesh)) - {"data"}:
+        datamodule.shard_rows = False
+
+
 class MTLDataModule:
     def __init__(
         self,
@@ -63,6 +80,10 @@ class MTLDataModule:
         self.shuffle_train = shuffle_train
         self.do_overfit = do_overfit
         self.seed = seed
+        # multi-process loader mode — see DataLoader.shard_rows; flipped to
+        # False by configure_host_sharded_loading for meshes whose
+        # process-spanning axes are not just 'data'
+        self.shard_rows = True
 
         self.data_train: t.Any = None
         self.data_val: t.Any = None
@@ -126,6 +147,7 @@ class MTLDataModule:
             drop_last=True,
             num_workers=self.num_workers,
             wire_format=self.wire_format,
+            shard_rows=self.shard_rows,
         )
 
     def _eval_loader(self, dataset: t.Any) -> DataLoader:
@@ -137,6 +159,7 @@ class MTLDataModule:
             pad_last=True,
             num_workers=self.num_workers,
             wire_format=self.wire_format,
+            shard_rows=self.shard_rows,
         )
 
     def val_dataloader(self) -> DataLoader:

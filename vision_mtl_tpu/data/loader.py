@@ -81,6 +81,7 @@ class DataLoader:
         num_workers: int = 0,
         with_valid: bool = False,
         wire_format: str = "f32",
+        shard_rows: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -91,6 +92,11 @@ class DataLoader:
         self.num_workers = num_workers
         self.with_valid = with_valid
         self.wire_format = wire_format
+        # multi-process: True = decode only this host's 1/process_count
+        # row-slice (valid when processes span ONLY the mesh's data axis);
+        # False = every host decodes the full global batch (required for
+        # process-spanning spatial/model meshes — put_batch slices it)
+        self.shard_rows = shard_rows
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -137,6 +143,10 @@ class DataLoader:
         # (make_array_from_process_local_data) — no host ever decodes or
         # ships another host's samples.
         pid, pc = self._process_shard()
+        if pc > 1 and not self.shard_rows:
+            # full-batch mode: identical decode on every host (same seeded
+            # order), assembled by put_batch(full_local=True)
+            pid, pc = 0, 1
         if pc > 1:
             assert self.batch_size % pc == 0, (
                 f"global batch_size {self.batch_size} must divide by "
@@ -213,17 +223,21 @@ def prefetch_to_device(
 ) -> t.Iterator[t.Any]:
     """Keep ``size`` device-resident batches in flight (async H2D via
     device_put; jax dispatch is async so compute overlaps transfer)."""
+    # a DataLoader in full-batch mode (shard_rows=False) yields the FULL
+    # global batch on every host; tell put_batch so assembly slices it
+    # instead of treating it as a row shard
+    full = getattr(iterator, "shard_rows", True) is False
     queue: collections.deque = collections.deque()
     it = iter(iterator)
     try:
         for _ in range(size):
-            queue.append(put_batch(next(it), mesh))
+            queue.append(put_batch(next(it), mesh, full_local=full))
     except StopIteration:
         pass
     while queue:
         out = queue.popleft()
         try:
-            queue.append(put_batch(next(it), mesh))
+            queue.append(put_batch(next(it), mesh, full_local=full))
         except StopIteration:
             pass
         yield out

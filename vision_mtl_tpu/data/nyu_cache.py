@@ -122,6 +122,12 @@ def build_cache(ds: t.Any, force: bool = False) -> str:
         )
     with open(os.path.join(cdir, "meta.json"), "w") as f:
         json.dump(_meta_for(ds, shapes), f)
+    # a dataset that already probed for a cache (load_batch -> None) latched
+    # the miss; reset so its next load_batch picks up the fresh cache
+    # instead of silently staying on the ~60x slower per-sample path
+    if hasattr(ds, "_cache_checked"):
+        ds._cache_checked = False
+        ds._cache = None
     return cdir
 
 

@@ -102,12 +102,17 @@ def update_metrics(
     # (ops/pallas/confmat.py) but measured 4x SLOWER on v5e — XLA pipelines
     # the single big contraction better than a sequential tiled accumulate —
     # so the XLA form stays the default (docs/BENCH_NOTES.md).
-    # Precision bound: counts are exact while every contraction's partial
+    # Precision bound: each contraction's counts are exact while its partial
     # sums stay under 2^24 (f32 integer resolution) — 16.7M pixels of ONE
     # (target,pred) pair. The 128x256 configs peak at 4.2M px/batch (safe
     # 4x over); batches beyond the bound (native-resolution eval, e.g.
     # 1024x2048 at bs>=16) are split into <=2^24-pixel sub-contractions at
-    # trace time, keeping every update exact.
+    # trace time and combined in int32, so a single update is exact up to
+    # 2^31 px per cell. The cross-batch state.confmat accumulation is f32:
+    # exact until a cell's EPOCH total passes 2^24, beyond which counts
+    # round with <=2^-24 relative error — harmless for the ratio metrics
+    # computed from it, and unavoidable without x64 (int32 would overflow a
+    # native-res train epoch: 2975 x 2.1Mpx > 2^31).
     px_w = (
         None
         if valid is None
@@ -130,14 +135,18 @@ def update_metrics(
     if n <= _CONFMAT_CHUNK_PX:
         cm = cm_block(flat_t, flat_p, px_w)
     else:
-        cm = jnp.zeros((c, c), jnp.float32)
+        # int32 combine: each <=2^24-px block is exact in f32, and integer
+        # addition keeps the within-update total exact up to 2^31 per cell
+        # (f32 addition would round past 2^24)
+        cm_i = jnp.zeros((c, c), jnp.int32)
         for s in range(0, n, _CONFMAT_CHUNK_PX):
             e = s + _CONFMAT_CHUNK_PX
-            cm = cm + cm_block(
+            cm_i = cm_i + cm_block(
                 flat_t[s:e],
                 flat_p[s:e],
                 None if px_w is None else px_w[s:e],
-            )
+            ).astype(jnp.int32)
+        cm = cm_i.astype(jnp.float32)
 
     abs_err = jnp.abs(
         depth_preds.astype(jnp.float32) - gt_depth.astype(jnp.float32)

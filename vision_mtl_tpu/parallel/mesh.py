@@ -81,6 +81,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_spanning_axes(mesh: t.Any) -> t.Tuple[str, ...]:
+    """Mesh axes whose shards live on more than one process: walking along
+    the axis (with every other axis held fixed) crosses a process boundary.
+
+    Host-sharded row-sliced loading (data/loader.py) is only consistent when
+    this is a subset of ``{"data"}`` — for spatial/model process-spanning
+    meshes each host's local slice is NOT a row range of the batch."""
+    devs = mesh.devices
+    pids = np.vectorize(lambda d: getattr(d, "process_index", 0))(devs)
+    out: t.List[str] = []
+    for i, name in enumerate(mesh.axis_names):
+        moved = np.moveaxis(pids, i, 0).reshape(pids.shape[i], -1)
+        if (moved != moved[0]).any():
+            out.append(name)
+    return tuple(out)
+
+
 def _leaf_spec(ndim: int, mesh: Mesh) -> P:
     """Batch leaves: dim0 on 'data'; dim1 (H) on 'spatial' when present."""
     parts: t.List[t.Any] = []
@@ -180,16 +197,21 @@ def shard_state(state: t.Any, mesh: Mesh, min_size: int = 2**16) -> t.Any:
     return new
 
 
-def put_batch(batch: t.Any, mesh: t.Optional[Mesh]) -> t.Any:
+def put_batch(
+    batch: t.Any, mesh: t.Optional[Mesh], full_local: bool = False
+) -> t.Any:
     """Transfer a host batch to devices with the mesh layout (or plain
     device_put without a mesh). Under jax.distributed the host batch is
     this process's LOCAL shard (the loader decodes only its slice —
     data/loader.py host-sharded loading) and the result is the assembled
-    GLOBAL sharded array."""
+    GLOBAL sharded array; ``full_local=True`` says every host holds the
+    FULL (identical) global batch instead — required when the mesh's
+    process-spanning axes are not just ``data`` (see
+    :func:`process_spanning_axes`)."""
     if mesh is None:
         return jax.tree.map(jax.device_put, batch)
     if jax.process_count() > 1:
         from vision_mtl_tpu.parallel.multihost import global_batch_from_local
 
-        return global_batch_from_local(batch, mesh)
+        return global_batch_from_local(batch, mesh, full_local=full_local)
     return jax.device_put(batch, batch_sharding(mesh, batch))

@@ -15,7 +15,7 @@ import typing as t
 import jax
 import numpy as np
 
-from vision_mtl_tpu.parallel.mesh import batch_sharding
+from vision_mtl_tpu.parallel.mesh import batch_sharding, process_spanning_axes
 
 
 def maybe_initialize_distributed() -> None:
@@ -67,15 +67,45 @@ def process_index_range(
 
 
 def global_batch_from_local(
-    local_batch: t.Dict[str, np.ndarray], mesh: jax.sharding.Mesh
+    local_batch: t.Dict[str, np.ndarray],
+    mesh: jax.sharding.Mesh,
+    full_local: bool = False,
 ) -> t.Dict[str, jax.Array]:
-    """Assemble the global sharded batch from this process's local shard.
+    """Assemble the global sharded batch from this process's local data.
 
-    ``local_batch`` leaves carry this host's ``global_batch/process_count``
-    samples; the result is a global jax.Array sharded over the mesh's data
-    (and spatial) axes, with no cross-host gathering of array data.
+    Default (``full_local=False``): ``local_batch`` leaves carry this host's
+    ``global_batch/process_count`` row-slice; the result is a global
+    jax.Array sharded over the mesh's data (and spatial) axes, with no
+    cross-host gathering of array data. Row slicing is only consistent when
+    processes span the mesh's ``data`` axis alone — any other spanning axis
+    is rejected here rather than mis-assembled.
+
+    ``full_local=True``: every host holds the FULL (bitwise-identical)
+    global batch; jax slices each device's shard out of it
+    (``global_shape == local_data.shape`` semantics). This is the required
+    mode for process-spanning spatial/model meshes, where a host's shards
+    are H-slices (or replicas) of every row. DataLoader(shard_rows=False)
+    produces such batches.
     """
     shardings = batch_sharding(mesh, local_batch)
+    if full_local:
+        return jax.tree.map(
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x), np.asarray(x).shape
+            ),
+            local_batch,
+            shardings,
+        )
+    span = set(process_spanning_axes(mesh))
+    if span - {"data"}:
+        raise ValueError(
+            f"mesh axes {sorted(span - {'data'})} span process boundaries: "
+            "host-sharded row-sliced loading cannot express their local "
+            "shards. Construct loaders with shard_rows=False (datamodule "
+            "attribute shard_rows) so every host decodes the full global "
+            "batch, and pass full_local=True here (put_batch does both "
+            "automatically via configure_host_sharded_loading)."
+        )
     return jax.tree.map(
         lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
         local_batch,

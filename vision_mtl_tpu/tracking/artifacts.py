@@ -107,12 +107,10 @@ def load_artifacts_from_comet(
                 print(f"Skipping asset {x['fileName']!r}: names the "
                       f"checkpoint dir itself, not a file within it")
                 continue
-            # asset names are remote-controlled: refuse anything that would
-            # escape dst_dir ('..' traversal / absolute)
-            if rel and (
-                os.path.isabs(rel)
-                or os.path.normpath(rel).split(os.sep)[0] == ".."
-            ):
+            # asset names are remote-controlled: refuse '..' traversal out
+            # of dst_dir (absolute paths are already neutralized — the
+            # lstrip('/') above makes every rel relative)
+            if rel and os.path.normpath(rel).split(os.sep)[0] == "..":
                 print(f"Skipping asset {x['fileName']!r}: path escapes "
                       f"the artifacts dir")
                 continue

@@ -86,6 +86,14 @@ def run_pipe(
         # makes --mesh_shape data:K,model:M real in the CLI path (not just
         # the driver's dryrun).
         state = shard_state(state, mesh)
+        # multi-process: row-sliced host-sharded loading is only valid when
+        # processes span the data axis alone; otherwise flip the loaders to
+        # full-batch mode (must happen before train_dataloader() below)
+        from vision_mtl_tpu.data.datamodule import (
+            configure_host_sharded_loading,
+        )
+
+        configure_host_sharded_loading(datamodule, mesh)
     train_step = make_train_step(
         model,
         loss_segm_weight=args.loss_segm_weight,

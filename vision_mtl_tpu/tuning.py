@@ -34,10 +34,13 @@ class TrialPruned(Exception):
 
 class MedianPruner:
     """Median pruning for the zero-dep fallback sweep (optuna-equivalent
-    semantics: a trial is pruned at epoch e when its val accuracy is worse
-    than the median of COMPLETED trials' accuracies at the same epoch;
+    semantics: a trial is pruned at its k-th validation report when its val
+    accuracy is worse than the median of COMPLETED trials' k-th reports;
     pruning starts only after ``n_startup_trials`` trials completed and
-    ``n_warmup_steps`` epochs elapsed). Thread-safe — the sweep may run
+    ``n_warmup_steps`` reports elapsed). Positions are REPORT ordinals, not
+    absolute epochs — with --val_epoch_freq N the callback fires every N
+    epochs, and ordinals keep completed histories and live reports aligned
+    (all trials share one val_epoch_freq). Thread-safe — the sweep may run
     trials concurrently (--n_jobs)."""
 
     def __init__(self, n_startup_trials: int = 2, n_warmup_steps: int = 0):
@@ -46,18 +49,21 @@ class MedianPruner:
         self._completed: t.List[t.List[float]] = []
         self._lock = threading.Lock()
 
-    def report(self, epoch: int, value: float) -> None:
-        """Record an intermediate value; raises TrialPruned when the trial
-        should stop."""
+    def report(self, ordinal: int, value: float) -> None:
+        """Record the ``ordinal``-th intermediate value of a trial; raises
+        TrialPruned when the trial should stop."""
         with self._lock:
             if (
                 len(self._completed) < self.n_startup_trials
-                or epoch < self.n_warmup_steps
+                or ordinal < self.n_warmup_steps
             ):
                 return
-            prior = [h[epoch] for h in self._completed if len(h) > epoch]
+            prior = [h[ordinal] for h in self._completed if len(h) > ordinal]
         if prior and value < float(np.median(prior)):
-            raise TrialPruned(f"epoch {epoch}: {value:.4f} < median {float(np.median(prior)):.4f}")
+            raise TrialPruned(
+                f"report {ordinal}: {value:.4f} < median "
+                f"{float(np.median(prior)):.4f}"
+            )
 
     def complete(self, history: t.Sequence[float]) -> None:
         with self._lock:
@@ -191,7 +197,10 @@ def run_study(
         def cb(epoch: int, val_metrics: t.Dict[str, float]) -> None:
             acc = float(val_metrics.get("accuracy", 0.0))
             history.append(acc)
-            pruner.report(epoch, acc)
+            # report by ORDINAL (len-1), not absolute epoch: with
+            # val_epoch_freq>1 the epoch index would never line up with the
+            # positions completed histories store, silently disabling pruning
+            pruner.report(len(history) - 1, acc)
 
         try:
             score = _run_trial(
