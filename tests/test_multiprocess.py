@@ -123,3 +123,40 @@ def test_two_process_full_pipeline(tmp_path):
     np.testing.assert_allclose(
         r0["b1_train_loss"], r0["a_train_loss"][:2], rtol=1e-6
     )
+
+
+def test_two_process_spatial_mesh(tmp_path):
+    """A data:1,spatial:2 mesh whose SPATIAL axis crosses the process
+    boundary: row-sliced loading is rejected, the datamodule auto-switches
+    to full-batch mode, assembly + a halo-exchanging conv are correct
+    (the configuration the loader review found would mis-assemble)."""
+    port = _free_port()
+    worker = os.path.join(
+        os.path.dirname(__file__), "_mp_spatial_worker.py"
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"spatial_{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(port), str(out)],
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(worker)),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = _communicate_all(procs, 420)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    for out in outs:
+        with open(out) as f:
+            r = json.load(f)
+        assert r["sum"] == pytest.approx(r["expected_sum"], rel=1e-6)
+        assert r["conv_max_abs_err"] < 1e-4, r["conv_max_abs_err"]
