@@ -1,8 +1,28 @@
-import argparse, os, sys, time
+"""Eval-step throughput at arbitrary resolution on the live backend.
+
+Times the fused eval step (forward + losses + metric accumulation) with the
+honest sync recipe: the MetricState chains call-to-call, and one scalar loss
+fetch at the end waits for the whole sequence (block_until_ready is not
+enough on relay-attached TPUs — docs/BENCH_NOTES.md). Inference holds no
+activations for backward, so no remat flags exist here; measured native-res
+numbers live in BENCH_NOTES "Native-res EVAL".
+
+Usage: python scripts/dissect_eval_highres.py [--model basic|mtan|csnet]
+       [--bs N] [--h H] [--w W] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax, jax.numpy as jnp, numpy as np
+import jax
+import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
