@@ -153,11 +153,25 @@ def main() -> None:
         )(jnp.asarray(full))
     )
 
+    # ---- MetricsLogger: ONE shared run dir across processes (KV-store
+    # rendezvous), sinks opened by process 0 only — the property the
+    # collective Orbax checkpoint path depends on ----
+    from vision_mtl_tpu.tracking.tb import MetricsLogger
+
+    tmpdir = os.path.dirname(os.path.abspath(out_path))
+    log_dirs = []
+    for i in range(2):  # sequence counter must stay aligned across loggers
+        lg = MetricsLogger(tmpdir, "mlog")
+        lg.log_metrics({"x": float(pid)}, step=i)
+        log_dirs.append(lg.log_dir)
+        lg.close()
+
     result = {
         "process_id": pid,
         "sum": got_sum,
         "expected_sum": want_sum,
         "conv_max_abs_err": float(np.abs(got_conv - want_conv).max()),
+        "log_dirs": log_dirs,
     }
     with open(out_path, "w") as f:
         json.dump(result, f)

@@ -155,8 +155,19 @@ def test_two_process_spatial_mesh(tmp_path):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-4000:]
 
+    results = []
     for out in outs:
         with open(out) as f:
             r = json.load(f)
         assert r["sum"] == pytest.approx(r["expected_sum"], rel=1e-6)
         assert r["conv_max_abs_err"] < 1e-4, r["conv_max_abs_err"]
+        results.append(r)
+
+    # MetricsLogger agreed on ONE run dir per construction across processes
+    # (checkpoint-path coherence), and only process 0 wrote the sink
+    assert results[0]["log_dirs"] == results[1]["log_dirs"]
+    assert len(set(results[0]["log_dirs"])) == 2  # two distinct loggers
+    for d in results[0]["log_dirs"]:
+        with open(os.path.join(d, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert [r["x"] for r in recs] == [0.0]  # process 0's write only

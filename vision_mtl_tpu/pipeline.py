@@ -74,8 +74,16 @@ def create_main_components(
 
 def create_tools(args: argparse.Namespace) -> t.Dict[str, t.Any]:
     """Experiment tracker + metrics logger (reference create_tools,
-    pipeline_utils.py:33-56)."""
-    exp = create_tracking_exp(args)
+    pipeline_utils.py:33-56).
+
+    Multi-process: only process 0 owns the comet experiment and writes
+    train_args.yaml; MetricsLogger itself resolves ONE shared run dir across
+    processes (tracking/tb.py) so the collective Orbax checkpoint path
+    agrees everywhere."""
+    from vision_mtl_tpu.tracking.tb import _process_info
+
+    proc0 = _process_info()[0] == 0
+    exp = create_tracking_exp(args) if proc0 else None
     if not args.exp_disabled and exp:
         args.run_name = exp.name
     log_params_to_exp(exp, vars(args), "args")
@@ -86,5 +94,6 @@ def create_tools(args: argparse.Namespace) -> t.Dict[str, t.Any]:
     if args.run_name:
         log_subdir_name += f"/{args.run_name}"
     logger = MetricsLogger(str(cfg.log_root_dir), log_subdir_name)
-    log_args(args, f"{logger.log_dir}/train_args.yaml", exp=exp)
+    if proc0:
+        log_args(args, f"{logger.log_dir}/train_args.yaml", exp=exp)
     return {"exp": exp, "logger": logger}

@@ -61,6 +61,14 @@ def _select_backend(device: str) -> None:
 
 
 def main(argv=None) -> None:
+    # multi-process launchers (TPU pods / COORDINATOR_ADDRESS env) join the
+    # jax.distributed process group FIRST — the init refuses to run once any
+    # jax API has initialized the backend, and without it every process
+    # would silently train as an independent single-process job
+    # (parallel/multihost.py)
+    from vision_mtl_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     args = parse_args(argv)
     cfg.update_fields_with_args(args)
     _select_backend(args.device)
@@ -138,7 +146,9 @@ def main(argv=None) -> None:
         loss_segm_weight=args.loss_segm_weight,
         loss_depth_weight=args.loss_depth_weight,
     )
-    save_preds(preds, os.path.join(logger.log_dir, "preds.npz"))
+    if jax.process_index() == 0:
+        # every process runs the (collective) predict sweep; one writes
+        save_preds(preds, os.path.join(logger.log_dir, "preds.npz"))
 
     print(
         "predict: "
