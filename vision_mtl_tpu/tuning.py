@@ -78,6 +78,16 @@ def _effective_n_jobs(args: argparse.Namespace) -> int:
     n_jobs = getattr(args, "n_jobs", 1) or 1
     import jax
 
+    if jax.process_count() > 1 and n_jobs != 1:
+        # SPMD requires every process to run identical device programs in
+        # identical order; thread-parallel trials would also misalign the
+        # cross-process MetricsLogger run-dir rendezvous (tracking/tb.py)
+        print(
+            f"n_jobs={n_jobs} ignored under jax.distributed "
+            f"({jax.process_count()} processes): trials must run in "
+            "lockstep; running serially"
+        )
+        return 1
     if jax.default_backend() != "cpu" and n_jobs != 1:
         print(
             f"n_jobs={n_jobs} ignored on {jax.default_backend()}: "
@@ -149,7 +159,19 @@ def run_study(
 
     if optuna is not None:
         pruner = optuna.pruners.MedianPruner()
-        study = optuna.create_study(direction="maximize", pruner=pruner)
+        # seeded sampler (the reference's study is unseeded): identical
+        # suggestions are REQUIRED under jax.distributed — per-process
+        # divergent loss weights would diverge the SPMD trajectories and
+        # desynchronize pruning (collective-count mismatch = hang); it also
+        # makes single-process sweeps reproducible, matching the seeded
+        # fallback sweep below
+        study = optuna.create_study(
+            direction="maximize",
+            pruner=pruner,
+            sampler=optuna.samplers.TPESampler(
+                seed=getattr(args, "seed", 11)
+            ),
+        )
 
         def objective(trial: "optuna.Trial") -> float:
             weights = {
