@@ -85,7 +85,10 @@ def main() -> None:
         loss_depth_weight=1.0,
         val_epoch_freq=1,
         save_epoch_freq=2,
-        do_plot_preds=False,
+        # exercise the multi-process benchmark path: EVERY process must run
+        # predict_step (it reads process-spanning state); only process 0
+        # renders/logs the figure (train/loop.py)
+        do_plot_preds=True,
         do_show_preds=False,
         batch_size=4,
         num_workers=0,

@@ -33,6 +33,22 @@ class NullExperiment:
         return self._noop
 
 
+def comet_enabled(args: argparse.Namespace) -> bool:
+    """Pure predicate: would :func:`create_tracking_exp` return a REAL
+    experiment? Derived only from args / config / installed deps, so every
+    jax.distributed process computes the same answer (hosts must share the
+    environment) — used for process-consistent gating of code that both
+    depends on the experiment and executes collective programs
+    (train/loop.py benchmark predictions)."""
+    if getattr(args, "exp_disabled", True) or cfg.logger.disabled:
+        return False
+    try:
+        import comet_ml  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def create_tracking_exp(
     args: argparse.Namespace,
     exp_disabled: bool = True,

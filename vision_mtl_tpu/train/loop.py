@@ -18,6 +18,7 @@ import typing as t
 from collections import defaultdict
 
 import jax
+import numpy as np
 
 from vision_mtl_tpu.data.datamodule import MTLDataModule
 from vision_mtl_tpu.data.loader import prefetch_to_device
@@ -116,9 +117,26 @@ def run_pipe(
 
     benchmark_batch = datamodule.benchmark_batch
     if benchmark_batch is not None:
-        # replicated placement: the 4-sample standing batch need not divide
-        # the data axis
-        benchmark_batch = put_batch(benchmark_batch, None)
+        if jax.process_count() > 1 and mesh is not None:
+            # multi-process: predict_step reads the (process-spanning)
+            # train state, so its other inputs must live on the same global
+            # device set. Replicated placement from identical local copies
+            # (every host loads the same fixed benchmark idxs) — and NOT
+            # jax.device_put, whose cross-host consistency check hangs
+            # (CLAUDE.md).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            benchmark_batch = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x), np.asarray(x).shape
+                ),
+                benchmark_batch,
+            )
+        else:
+            # replicated placement: the 4-sample standing batch need not
+            # divide the data axis
+            benchmark_batch = put_batch(benchmark_batch, None)
     else:
         print("A batch for benchmarking is not found.")
 
@@ -205,8 +223,23 @@ def run_pipe(
 
         # ---------------- validation ----------------
         if (epoch + 1) % args.val_epoch_freq == 0:
-            if benchmark_batch is not None and (exp or args.do_plot_preds):
+            if jax.process_count() > 1:
+                # exp exists only on process 0 (pipeline.create_tools), but
+                # predict_step reads the process-spanning state — EVERY
+                # process must execute it or none. Gate on a predicate all
+                # processes compute identically from args/env.
+                from vision_mtl_tpu.tracking.comet import comet_enabled
+
+                want_benchmark = args.do_plot_preds or comet_enabled(args)
+            else:
+                want_benchmark = bool(exp) or args.do_plot_preds
+            if benchmark_batch is not None and want_benchmark:
                 benchmark_preds = predict_step(state, benchmark_batch["img"])
+                if jax.process_index() != 0:
+                    benchmark_preds = None  # plotting is process-0-only
+            else:
+                benchmark_preds = None
+            if benchmark_preds is not None:
                 try:
                     from vision_mtl_tpu.vis import plot_preds
 
