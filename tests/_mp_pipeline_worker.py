@@ -183,8 +183,25 @@ def main() -> None:
         scheduler=scheduler, start_epoch=start_epoch,
     )
 
+    # ---- predict sweep under jax.distributed: sharded step outputs are
+    # all-gathered by predict()'s replicate identity so EVERY host fetches
+    # the full predictions (and slices padding identically) ----
+    from vision_mtl_tpu.predict import predict as predict_sweep
+
+    preds, predict_metrics = predict_sweep(
+        dm.predict_dataloader(),
+        model,
+        state,
+        num_classes=data_cfg.num_classes,
+        mesh=mesh,
+    )
+    n_pred = int(sum(p["segm"].shape[0] for p in preds))
+
     result = {
         "process_id": pid,
+        "n_pred": n_pred,
+        "n_predict_ds": len(dm.data_predict),
+        "predict_acc": predict_metrics.get("predict/accuracy", -1.0),
         "a_train_loss": metrics_a["train"]["train/loss"],
         "a_val_loss": metrics_a["val"]["val/loss"],
         "a_val_acc": metrics_a["val"]["val/accuracy"],

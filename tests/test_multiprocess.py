@@ -106,6 +106,13 @@ def test_two_process_full_pipeline(tmp_path):
             results.append(json.load(f))
     r0, r1 = results
 
+    # the predict sweep returned the FULL prediction set on every host
+    # (sharded outputs all-gathered before fetch) with identical metrics
+    for r in (r0, r1):
+        assert r["n_pred"] == r["n_predict_ds"], (r["n_pred"], r["n_predict_ds"])
+    np.testing.assert_allclose(r0["predict_acc"], r1["predict_acc"], rtol=0)
+    assert r0["predict_acc"] >= 0.0
+
     # both processes observed IDENTICAL metric streams (true SPMD)
     for k in ("a_train_loss", "a_val_loss", "a_val_acc", "b1_train_loss",
               "resumed_train_loss", "resumed_val_loss", "resumed_val_acc"):

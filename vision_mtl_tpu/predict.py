@@ -36,25 +36,49 @@ def predict(
         loss_depth_weight=loss_depth_weight,
         mesh=mesh,
     )
+    replicate = None
+    if mesh is not None and jax.process_count() > 1:
+        # multi-process: step outputs stay sharded over the global mesh and
+        # a host cannot device_get non-addressable shards. A jitted
+        # identity with replicated out_shardings is the compiled all-gather
+        # that makes every output locally fetchable — and being collective,
+        # EVERY process must run it on the same arrays (which they do:
+        # this loop is SPMD-uniform).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicate = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(mesh, PartitionSpec()),
+        )
     mstate = init_metrics(num_classes)
     preds: t.List[t.Dict[str, np.ndarray]] = []
     for batch in prefetch_to_device(predict_dataloader, mesh, size=2):
         batch_preds, mstate, _ = step(state, batch, mstate)
-        host_preds = jax.device_get(batch_preds)
+        host_preds = jax.device_get(
+            replicate(batch_preds) if replicate else batch_preds
+        )
         valid = batch.get("valid")
         if valid is not None:
+            valid = replicate(valid) if replicate else valid
             n_valid = int(np.sum(np.asarray(jax.device_get(valid))))
             host_preds = {k: v[:n_valid] for k, v in host_preds.items()}
         preds.append(host_preds)
         if do_plot_preds:
             try:
+                # the batch gather is collective — run it on every process;
+                # only process 0 renders/logs
+                host_batch = jax.device_get(
+                    replicate(batch) if replicate else batch
+                )
+                if jax.process_index() != 0:
+                    continue
                 from vision_mtl_tpu.vis import plot_preds
 
                 import matplotlib.pyplot as plt
 
                 fig = plot_preds(
                     batch_size=host_preds["segm"].shape[0],
-                    inputs_batch=jax.device_get(batch),
+                    inputs_batch=host_batch,
                     preds_batch=host_preds,
                 )
                 if exp:
