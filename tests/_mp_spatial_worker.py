@@ -51,11 +51,18 @@ def main() -> None:
         "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}",
-        num_processes=2,
-        process_id=pid,
+    # join via the CLI's documented env recipe (README "Multi-host") —
+    # this worker deliberately exercises maybe_initialize_distributed's
+    # legacy-spelling mapping + explicit process count/id forwarding
+    # instead of calling jax.distributed.initialize directly
+    os.environ["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+    from vision_mtl_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
     )
+
+    maybe_initialize_distributed()
     assert jax.process_count() == 2 and len(jax.devices()) == 2
 
     import jax.numpy as jnp

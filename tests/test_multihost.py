@@ -1,6 +1,7 @@
 """Multi-host helpers in a single-process, 8-virtual-device setting."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -126,3 +127,59 @@ def test_loader_full_batch_mode(monkeypatch, rng):
     np.testing.assert_array_equal(
         np.concatenate([row0["img"], row1["img"]]), full0["img"]
     )
+
+
+def test_maybe_initialize_distributed_env_contract(monkeypatch):
+    """The CLI launch shim must (a) no-op without launch markers — incl. a
+    SINGLE-host TPU_WORKER_HOSTNAMES like dev boxes have, (b) forward the
+    legacy COORDINATOR_ADDRESS spelling plus explicit count/id to
+    jax.distributed.initialize, (c) auto-fire on multi-worker pod env, and
+    (d) RAISE (not silently fall back) when a detected launch cannot
+    resolve the process group."""
+    from vision_mtl_tpu.parallel import multihost
+
+    calls = []
+
+    def fake_init(**kwargs):
+        calls.append(kwargs)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    for var in (
+        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+    ):
+        monkeypatch.delenv(var, raising=False)
+
+    # (a) bare env -> no-op; single-host TPU env -> still no-op
+    multihost.maybe_initialize_distributed()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    multihost.maybe_initialize_distributed()
+    assert calls == []
+
+    # (b) the documented explicit recipe, legacy spelling
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "h0:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    multihost.maybe_initialize_distributed()
+    assert calls == [
+        {"coordinator_address": "h0:1234", "num_processes": 4,
+         "process_id": 3}
+    ]
+
+    # (c) multi-worker pod env -> auto-fire with jax's own detection
+    calls.clear()
+    for var in ("COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    multihost.maybe_initialize_distributed()
+    assert calls == [{}]
+
+    # (d) a detected launch that cannot resolve RAISES with guidance
+    def broken_init(**kwargs):
+        raise ValueError("coordinator_address should be defined.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", broken_init)
+    with pytest.raises(RuntimeError, match="JAX_NUM_PROCESSES"):
+        multihost.maybe_initialize_distributed()

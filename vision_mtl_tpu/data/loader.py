@@ -122,15 +122,11 @@ class DataLoader:
     @staticmethod
     def _process_shard() -> t.Tuple[int, int]:
         """(process_index, process_count) under jax.distributed; (0, 1)
-        single-process."""
-        try:
-            import jax
+        single-process. Thin wrapper (kept for test monkeypatching) around
+        the shared parallel/multihost helper."""
+        from vision_mtl_tpu.parallel.multihost import process_info
 
-            if jax.process_count() > 1:
-                return jax.process_index(), jax.process_count()
-        except Exception:
-            pass
-        return 0, 1
+        return process_info()
 
     def __iter__(self) -> t.Iterator[Batch]:
         batches = self._index_batches()

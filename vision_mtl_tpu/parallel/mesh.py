@@ -197,6 +197,33 @@ def shard_state(state: t.Any, mesh: Mesh, min_size: int = 2**16) -> t.Any:
     return new
 
 
+def put_replicated(tree: t.Any, mesh: Mesh) -> t.Any:
+    """Fully-replicated placement of host data on the global mesh.
+
+    Multi-process: every host must hold IDENTICAL data (e.g. the fixed
+    benchmark batch); assembly goes through
+    ``make_array_from_process_local_data`` because ``jax.device_put`` onto
+    a process-spanning sharding runs a cross-host consistency allgather
+    that times out under compile skew (CLAUDE.md gotchas)."""
+    rep = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x), np.asarray(x).shape
+            ),
+            tree,
+        )
+    return jax.device_put(tree, rep)
+
+
+def replicate_gather(mesh: Mesh) -> t.Callable[[t.Any], t.Any]:
+    """Jitted identity with replicated out_shardings — the compiled
+    all-gather that makes a process-spanning sharded tree locally
+    fetchable (``device_get``-able) on EVERY process. Collective: all
+    processes must call it on the same arrays."""
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+
 def put_batch(
     batch: t.Any, mesh: t.Optional[Mesh], full_local: bool = False
 ) -> t.Any:

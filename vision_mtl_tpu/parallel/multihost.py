@@ -19,24 +19,49 @@ from vision_mtl_tpu.parallel.mesh import batch_sharding, process_spanning_axes
 
 
 def maybe_initialize_distributed() -> None:
-    """Initialize jax.distributed when running under a multi-process launcher
-    (TPU pod runtimes autodetect coordinator/process env); safe no-op for
-    single-process runs.
+    """Initialize jax.distributed when running under a multi-process
+    launcher; safe no-op for single-process runs.
+
+    Recognized launch signals (checked in order):
+      * explicit env — ``JAX_COORDINATOR_ADDRESS`` (jax's native spelling)
+        or ``COORDINATOR_ADDRESS``, optionally with
+        ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` (jax 0.9 reads only the
+        coordinator address from env; process count/id must be passed as
+        arguments, so this shim forwards them);
+      * multislice TPU — ``MEGASCALE_COORDINATOR_ADDRESS`` (jax's megascale
+        cluster detector resolves the rest);
+      * single-slice TPU pod — ``TPU_WORKER_HOSTNAMES`` listing MULTIPLE
+        workers (the TPU cluster detector resolves the rest; a single-host
+        value, e.g. ``localhost`` on dev boxes, must NOT trigger
+        distributed init).
+
+    A detected launch that fails to initialize RAISES — falling back
+    silently would let every process train as an independent
+    single-process job, corrupting the run without any error.
 
     ORDER MATTERS: the launcher check must be a pure ``os.environ`` test —
     any jax API call (even ``jax.process_count()``) initializes the XLA
-    backend, after which ``jax.distributed.initialize()`` refuses to run and
-    every process would silently train as an independent single-process job.
+    backend, after which ``jax.distributed.initialize()`` refuses to run.
     Call this before anything else touches jax."""
     import os
 
-    if not (
-        "COORDINATOR_ADDRESS" in os.environ
-        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
-    ):
+    env = os.environ
+    coord = env.get("JAX_COORDINATOR_ADDRESS") or env.get(
+        "COORDINATOR_ADDRESS"
+    )
+    tpu_workers = env.get("TPU_WORKER_HOSTNAMES", "")
+    auto = "MEGASCALE_COORDINATOR_ADDRESS" in env or "," in tpu_workers
+    if coord is None and not auto:
         return
+    kwargs: t.Dict[str, t.Any] = {}
+    if coord is not None:
+        kwargs["coordinator_address"] = coord
+        if env.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(env["JAX_NUM_PROCESSES"])
+        if env.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(env["JAX_PROCESS_ID"])
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # pragma: no cover - depends on launcher env
         if "already initialized" in str(e):
             return  # the runtime beat us to it — fine
@@ -46,6 +71,25 @@ def maybe_initialize_distributed() -> None:
             "maybe_initialize_distributed() before any other jax API use. "
             f"Original error: {e}"
         ) from e
+    except (ValueError, TypeError) as e:
+        raise RuntimeError(
+            "multi-process launch detected (coordinator/pod env set) but "
+            "jax.distributed.initialize could not resolve the process "
+            "group. Outside TPU/Slurm/Open MPI launchers set ALL of "
+            "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and "
+            f"JAX_PROCESS_ID. Original error: {e}"
+        ) from e
+
+
+def process_info() -> t.Tuple[int, int]:
+    """(process_index, process_count); (0, 1) when jax is unavailable.
+    Shared by the loader, logger, and pipeline — one fallback semantic.
+    NOTE: touches the jax backend; never call before
+    :func:`maybe_initialize_distributed`."""
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
 
 
 def process_index_range(

@@ -80,9 +80,9 @@ def create_tools(args: argparse.Namespace) -> t.Dict[str, t.Any]:
     train_args.yaml; MetricsLogger itself resolves ONE shared run dir across
     processes (tracking/tb.py) so the collective Orbax checkpoint path
     agrees everywhere."""
-    from vision_mtl_tpu.tracking.tb import _process_info
+    from vision_mtl_tpu.parallel.multihost import process_info
 
-    proc0 = _process_info()[0] == 0
+    proc0 = process_info()[0] == 0
     exp = create_tracking_exp(args) if proc0 else None
     if not args.exp_disabled and exp:
         args.run_name = exp.name

@@ -39,17 +39,13 @@ def predict(
     replicate = None
     if mesh is not None and jax.process_count() > 1:
         # multi-process: step outputs stay sharded over the global mesh and
-        # a host cannot device_get non-addressable shards. A jitted
-        # identity with replicated out_shardings is the compiled all-gather
-        # that makes every output locally fetchable — and being collective,
-        # EVERY process must run it on the same arrays (which they do:
-        # this loop is SPMD-uniform).
-        from jax.sharding import NamedSharding, PartitionSpec
+        # a host cannot device_get non-addressable shards. The compiled
+        # all-gather makes every output locally fetchable — and being
+        # collective, EVERY process must run it on the same arrays (which
+        # they do: this loop is SPMD-uniform).
+        from vision_mtl_tpu.parallel.mesh import replicate_gather
 
-        replicate = jax.jit(
-            lambda x: x,
-            out_shardings=NamedSharding(mesh, PartitionSpec()),
-        )
+        replicate = replicate_gather(mesh)
     mstate = init_metrics(num_classes)
     preds: t.List[t.Dict[str, np.ndarray]] = []
     for batch in prefetch_to_device(predict_dataloader, mesh, size=2):

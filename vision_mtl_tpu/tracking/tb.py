@@ -24,12 +24,9 @@ _logger_seq = itertools.count()
 
 
 def _process_info() -> t.Tuple[int, int]:
-    try:
-        import jax
+    from vision_mtl_tpu.parallel.multihost import process_info
 
-        return jax.process_index(), jax.process_count()
-    except Exception:
-        return 0, 1
+    return process_info()
 
 
 class MetricsLogger:
@@ -64,11 +61,24 @@ class MetricsLogger:
             client = distributed.global_state.client
             key = f"vmtl_metrics_logger:{next(_logger_seq)}"
             if pi == 0:
-                client.key_value_set(key, self.log_dir)
+                # the name travels with the dir as an ordinal-desync guard
+                client.key_value_set(key, f"{self.log_dir}\n{name}")
             else:
-                self.log_dir = client.blocking_key_value_get(
-                    key, 600_000
-                )
+                value = client.blocking_key_value_get(key, 600_000)
+                self.log_dir, remote_name = value.split("\n", 1)
+                # names may legitimately differ only by the comet run_name
+                # suffix (created on process 0 alone); a mismatched LEADING
+                # component means the construction ordinals desynced —
+                # adopting the dir would cross-wire two different runs'
+                # metrics and checkpoints, so fail loudly instead
+                if remote_name.split("/")[0] != name.split("/")[0]:
+                    raise RuntimeError(
+                        "MetricsLogger rendezvous desync: process 0 "
+                        f"published {remote_name!r} for key {key!r} but "
+                        f"this process is constructing {name!r}. Loggers "
+                        "must be constructed in the same order on every "
+                        "process (SPMD lockstep)."
+                    )
         self._jsonl = (
             open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
             if self._writer

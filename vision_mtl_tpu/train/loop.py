@@ -18,7 +18,6 @@ import typing as t
 from collections import defaultdict
 
 import jax
-import numpy as np
 
 from vision_mtl_tpu.data.datamodule import MTLDataModule
 from vision_mtl_tpu.data.loader import prefetch_to_device
@@ -116,23 +115,22 @@ def run_pipe(
         scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
 
     benchmark_batch = datamodule.benchmark_batch
+    benchmark_gather = None
     if benchmark_batch is not None:
         if jax.process_count() > 1 and mesh is not None:
             # multi-process: predict_step reads the (process-spanning)
             # train state, so its other inputs must live on the same global
-            # device set. Replicated placement from identical local copies
-            # (every host loads the same fixed benchmark idxs) — and NOT
-            # jax.device_put, whose cross-host consistency check hangs
-            # (CLAUDE.md).
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            rep = NamedSharding(mesh, PartitionSpec())
-            benchmark_batch = jax.tree.map(
-                lambda x: jax.make_array_from_process_local_data(
-                    rep, np.asarray(x), np.asarray(x).shape
-                ),
-                benchmark_batch,
+            # device set — replicated from identical local copies (every
+            # host loads the same fixed benchmark idxs). Outputs may still
+            # come back sharded (e.g. model-axis TP layouts), so they are
+            # all-gathered before the process-0 host fetch.
+            from vision_mtl_tpu.parallel.mesh import (
+                put_replicated,
+                replicate_gather,
             )
+
+            benchmark_batch = put_replicated(benchmark_batch, mesh)
+            benchmark_gather = replicate_gather(mesh)
         else:
             # replicated placement: the 4-sample standing batch need not
             # divide the data axis
@@ -235,6 +233,11 @@ def run_pipe(
                 want_benchmark = bool(exp) or args.do_plot_preds
             if benchmark_batch is not None and want_benchmark:
                 benchmark_preds = predict_step(state, benchmark_batch["img"])
+                if benchmark_gather is not None:
+                    # collective all-gather (every process participates):
+                    # under e.g. model-axis TP the preds come back sharded
+                    # and process 0 could not device_get them otherwise
+                    benchmark_preds = benchmark_gather(benchmark_preds)
                 if jax.process_index() != 0:
                     benchmark_preds = None  # plotting is process-0-only
             else:
