@@ -183,3 +183,137 @@ def test_maybe_initialize_distributed_env_contract(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", broken_init)
     with pytest.raises(RuntimeError, match="JAX_NUM_PROCESSES"):
         multihost.maybe_initialize_distributed()
+
+
+def test_maybe_initialize_malformed_count_env(monkeypatch):
+    """Malformed JAX_NUM_PROCESSES/JAX_PROCESS_ID (launcher templating bugs)
+    must surface the launch-guidance RuntimeError, not a bare int() error."""
+    from vision_mtl_tpu.parallel import multihost
+
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: (_ for _ in ()).throw(
+            AssertionError("initialize must not be reached")
+        )
+    )
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "h0:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2n")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="not integers"):
+        multihost.maybe_initialize_distributed()
+
+
+class _FakeKV:
+    """Coordination-service KV store double: blocking get with a real wait
+    so two simulated processes (threads) can rendezvous."""
+
+    def __init__(self):
+        import threading
+
+        self._d = {}
+        self._cv = threading.Condition()
+
+    def key_value_set(self, k, v):
+        with self._cv:
+            self._d[k] = v
+            self._cv.notify_all()
+
+    def blocking_key_value_get(self, k, timeout_ms):
+        with self._cv:
+            if not self._cv.wait_for(
+                lambda: k in self._d, timeout=min(timeout_ms / 1000.0, 5.0)
+            ):
+                raise TimeoutError(f"kv timeout waiting for {k!r}")
+            return self._d[k]
+
+
+def test_all_processes_agree(monkeypatch):
+    """AND-reduction over the (faked) coordination service: the guard that
+    keeps collective programs off strict process subsets."""
+    import threading
+
+    from jax._src import distributed
+
+    from vision_mtl_tpu.parallel import multihost
+
+    # single-process passthrough needs no client
+    monkeypatch.setattr(multihost, "process_info", lambda: (0, 1))
+    assert multihost.all_processes_agree(True, "x") is True
+    assert multihost.all_processes_agree(False, "x") is False
+
+    # two simulated processes = two threads; per-"process" call counters
+    # (the real counter is per-process module state)
+    tls = threading.local()
+
+    class _TLCount:
+        def __next__(self):
+            v = getattr(tls, "seq", 0)
+            tls.seq = v + 1
+            return v
+
+    monkeypatch.setattr(multihost, "_agree_seq", _TLCount())
+    monkeypatch.setattr(
+        multihost, "process_info", lambda: (tls.pid, 2)
+    )
+    monkeypatch.setattr(distributed.global_state, "client", _FakeKV())
+
+    results = {}
+
+    def worker(pid, flags):
+        tls.pid, tls.seq = pid, 0
+        results[pid] = [
+            multihost.all_processes_agree(f, "bench") for f in flags
+        ]
+
+    # round 1: both True -> True; round 2: one False -> False everywhere
+    ts = [
+        threading.Thread(target=worker, args=(0, [True, True])),
+        threading.Thread(target=worker, args=(1, [True, False])),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(timeout=30)
+    assert results == {0: [True, False], 1: [True, False]}
+
+
+def test_metrics_logger_rendezvous(monkeypatch, tmp_path):
+    """Cross-process run-dir rendezvous: worker adopts process 0's dir, a
+    tag mismatch (construction-ordinal desync) fails loudly, and a
+    process-0 failure sentinel unblocks waiting workers with the reason."""
+    import itertools
+
+    from jax._src import distributed
+
+    from vision_mtl_tpu.tracking import tb
+
+    kv = _FakeKV()
+    monkeypatch.setattr(distributed.global_state, "client", kv)
+
+    def as_process(pi):
+        monkeypatch.setattr(tb, "_process_info", lambda: (pi, 2))
+        monkeypatch.setattr(tb, "_logger_seq", itertools.count())
+
+    # happy path: worker adopts the published dir and opens no sinks
+    as_process(0)
+    lg0 = tb.MetricsLogger(str(tmp_path), "run", rendezvous_tag="main")
+    as_process(1)
+    lg1 = tb.MetricsLogger(str(tmp_path), "run", rendezvous_tag="main")
+    assert lg1.log_dir == lg0.log_dir
+    assert lg1._jsonl is None and lg0._jsonl is not None
+    lg1.log_metrics({"a": 1.0}, 0)  # no-op, must not crash
+    lg0.close(), lg1.close()
+
+    # tag desync: ordinal k paired with a different construction site
+    as_process(0)
+    tb.MetricsLogger(str(tmp_path), "run", rendezvous_tag="trial_0").close()
+    as_process(1)
+    with pytest.raises(RuntimeError, match="desync"):
+        tb.MetricsLogger(str(tmp_path), "run", rendezvous_tag="trial_1")
+
+    # failure sentinel: process 0 dies pre-construction, worker gets the
+    # reason instead of a 10-minute KV timeout
+    as_process(0)
+    tb.publish_logger_failure("create_tracking_exp raised on process 0")
+    as_process(1)
+    with pytest.raises(RuntimeError, match="create_tracking_exp"):
+        tb.MetricsLogger(str(tmp_path), "run", rendezvous_tag="main")

@@ -10,6 +10,7 @@ count. DCN-spanning meshes are out of scope (single-pod ICI target).
 
 from __future__ import annotations
 
+import itertools
 import typing as t
 
 import jax
@@ -56,10 +57,18 @@ def maybe_initialize_distributed() -> None:
     kwargs: t.Dict[str, t.Any] = {}
     if coord is not None:
         kwargs["coordinator_address"] = coord
-        if env.get("JAX_NUM_PROCESSES"):
-            kwargs["num_processes"] = int(env["JAX_NUM_PROCESSES"])
-        if env.get("JAX_PROCESS_ID"):
-            kwargs["process_id"] = int(env["JAX_PROCESS_ID"])
+        try:
+            if env.get("JAX_NUM_PROCESSES"):
+                kwargs["num_processes"] = int(env["JAX_NUM_PROCESSES"])
+            if env.get("JAX_PROCESS_ID"):
+                kwargs["process_id"] = int(env["JAX_PROCESS_ID"])
+        except ValueError as e:
+            raise RuntimeError(
+                "multi-process launch detected but JAX_NUM_PROCESSES="
+                f"{env.get('JAX_NUM_PROCESSES')!r} / JAX_PROCESS_ID="
+                f"{env.get('JAX_PROCESS_ID')!r} are not integers; fix the "
+                "launcher environment."
+            ) from e
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # pragma: no cover - depends on launcher env
@@ -90,6 +99,36 @@ def process_info() -> t.Tuple[int, int]:
         return jax.process_index(), jax.process_count()
     except Exception:
         return 0, 1
+
+
+_agree_seq = itertools.count()
+
+
+def all_processes_agree(flag: bool, what: str) -> bool:
+    """True iff ``flag`` is True on EVERY jax.distributed process.
+
+    Guards collective programs behind per-host state that may legitimately
+    diverge (e.g. one host's benchmark-batch load failed): dispatching the
+    collective on a strict subset of processes hangs the whole job at the
+    rendezvous. Pure coordination-service KV traffic (gRPC) — no device
+    program, so the gloo 30s first-collective limit doesn't apply.
+
+    Itself collective: every process must call it the same number of times
+    with the same ``what`` (SPMD lockstep); a per-process call counter
+    namespaces repeat calls. Single-process: returns ``flag`` unchanged."""
+    pi, pc = process_info()
+    seq = next(_agree_seq)
+    if pc <= 1:
+        return flag
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    tag = f"vmtl_agree:{what}:{seq}"
+    client.key_value_set(f"{tag}:{pi}", "1" if flag else "0")
+    return all(
+        client.blocking_key_value_get(f"{tag}:{i}", 600_000) == "1"
+        for i in range(pc)
+    )
 
 
 def process_index_range(

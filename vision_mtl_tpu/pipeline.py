@@ -72,18 +72,33 @@ def create_main_components(
     return {"datamodule": datamodule, "model": model, "state": state}
 
 
-def create_tools(args: argparse.Namespace) -> t.Dict[str, t.Any]:
+def create_tools(
+    args: argparse.Namespace, rendezvous_tag: str = "main"
+) -> t.Dict[str, t.Any]:
     """Experiment tracker + metrics logger (reference create_tools,
     pipeline_utils.py:33-56).
 
     Multi-process: only process 0 owns the comet experiment and writes
     train_args.yaml; MetricsLogger itself resolves ONE shared run dir across
     processes (tracking/tb.py) so the collective Orbax checkpoint path
-    agrees everywhere."""
+    agrees everywhere. ``rendezvous_tag`` must be unique per construction
+    site within a run (tuning passes the trial tag) — it is the
+    ordinal-desync guard for that cross-process run-dir rendezvous."""
     from vision_mtl_tpu.parallel.multihost import process_info
 
     proc0 = process_info()[0] == 0
-    exp = create_tracking_exp(args) if proc0 else None
+    try:
+        exp = create_tracking_exp(args) if proc0 else None
+    except Exception:
+        # peers are already blocking in the MetricsLogger run-dir
+        # rendezvous below — unblock them loudly instead of letting them
+        # sit out the 10-minute KV timeout with no indication why
+        from vision_mtl_tpu.tracking.tb import publish_logger_failure
+
+        publish_logger_failure(
+            f"create_tracking_exp raised on process 0 ({rendezvous_tag})"
+        )
+        raise
     if not args.exp_disabled and exp:
         args.run_name = exp.name
     log_params_to_exp(exp, vars(args), "args")
@@ -93,7 +108,9 @@ def create_tools(args: argparse.Namespace) -> t.Dict[str, t.Any]:
     log_subdir_name = f"training-{args.model_name}"
     if args.run_name:
         log_subdir_name += f"/{args.run_name}"
-    logger = MetricsLogger(str(cfg.log_root_dir), log_subdir_name)
+    logger = MetricsLogger(
+        str(cfg.log_root_dir), log_subdir_name, rendezvous_tag=rendezvous_tag
+    )
     if proc0:
         log_args(args, f"{logger.log_dir}/train_args.yaml", exp=exp)
     return {"exp": exp, "logger": logger}

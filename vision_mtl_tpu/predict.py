@@ -62,12 +62,11 @@ def predict(
         if do_plot_preds:
             try:
                 # the batch gather is collective — run it on every process;
-                # only process 0 renders/logs
-                host_batch = jax.device_get(
-                    replicate(batch) if replicate else batch
-                )
+                # only process 0 pays the host fetch and renders/logs
+                gathered = replicate(batch) if replicate else batch
                 if jax.process_index() != 0:
                     continue
+                host_batch = jax.device_get(gathered)
                 from vision_mtl_tpu.vis import plot_preds
 
                 import matplotlib.pyplot as plt

@@ -29,6 +29,25 @@ def _process_info() -> t.Tuple[int, int]:
     return process_info()
 
 
+_FAIL_SENTINEL = "__FAILED__"
+
+
+def publish_logger_failure(reason: str) -> None:
+    """Process 0, about to die BEFORE constructing its next MetricsLogger:
+    unblock the peer processes already waiting in the run-dir rendezvous
+    with a loud error instead of a 10-minute blocking_key_value_get timeout
+    (e.g. create_tracking_exp raising on a bad comet key — pipeline.py).
+    No-op on single-process runs and on non-zero processes."""
+    pi, pc = _process_info()
+    if pc <= 1 or pi != 0:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    key = f"vmtl_metrics_logger:{next(_logger_seq)}"
+    client.key_value_set(key, f"{_FAIL_SENTINEL}\n{reason}")
+
+
 class MetricsLogger:
     """Multi-process safe: under ``jax.distributed`` all processes resolve
     the SAME run dir (process 0 claims it and publishes through the
@@ -38,7 +57,7 @@ class MetricsLogger:
     Orbax save is collective — per-process dirs would deadlock the save
     barrier (docs: CLAUDE.md multi-process gotchas)."""
 
-    def __init__(self, root_dir: str, name: str):
+    def __init__(self, root_dir: str, name: str, rendezvous_tag: str = "main"):
         base = os.path.join(root_dir, name)
         pi, pc = _process_info()
         self._writer = pi == 0
@@ -61,23 +80,29 @@ class MetricsLogger:
             client = distributed.global_state.client
             key = f"vmtl_metrics_logger:{next(_logger_seq)}"
             if pi == 0:
-                # the name travels with the dir as an ordinal-desync guard
-                client.key_value_set(key, f"{self.log_dir}\n{name}")
+                # the caller-supplied tag travels with the dir as an
+                # ordinal-desync guard (names can't distinguish loggers:
+                # every tuning trial uses the same training-{model} name)
+                client.key_value_set(key, f"{self.log_dir}\n{rendezvous_tag}")
             else:
                 value = client.blocking_key_value_get(key, 600_000)
-                self.log_dir, remote_name = value.split("\n", 1)
-                # names may legitimately differ only by the comet run_name
-                # suffix (created on process 0 alone); a mismatched LEADING
-                # component means the construction ordinals desynced —
-                # adopting the dir would cross-wire two different runs'
-                # metrics and checkpoints, so fail loudly instead
-                if remote_name.split("/")[0] != name.split("/")[0]:
+                self.log_dir, remote_tag = value.split("\n", 1)
+                if self.log_dir == _FAIL_SENTINEL:
+                    raise RuntimeError(
+                        "MetricsLogger rendezvous: process 0 failed before "
+                        f"constructing logger {key!r}: {remote_tag}"
+                    )
+                # a mismatched tag means the construction ordinals desynced
+                # across processes — adopting the dir would cross-wire two
+                # different runs' metrics and (collective!) Orbax
+                # checkpoints, so fail loudly instead
+                if remote_tag != rendezvous_tag:
                     raise RuntimeError(
                         "MetricsLogger rendezvous desync: process 0 "
-                        f"published {remote_name!r} for key {key!r} but "
-                        f"this process is constructing {name!r}. Loggers "
-                        "must be constructed in the same order on every "
-                        "process (SPMD lockstep)."
+                        f"published tag {remote_tag!r} for key {key!r} but "
+                        f"this process is constructing {rendezvous_tag!r}. "
+                        "Loggers must be constructed in the same order on "
+                        "every process (SPMD lockstep)."
                     )
         self._jsonl = (
             open(os.path.join(self.log_dir, "metrics.jsonl"), "a")

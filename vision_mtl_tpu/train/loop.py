@@ -116,6 +116,22 @@ def run_pipe(
 
     benchmark_batch = datamodule.benchmark_batch
     benchmark_gather = None
+    if jax.process_count() > 1:
+        # presence must be process-UNIFORM: datamodule.setup() swallows a
+        # per-host benchmark load failure into None (warn-and-continue),
+        # and the benchmark predict below is collective — a host that
+        # silently skipped it would hang every other host at the gather
+        from vision_mtl_tpu.parallel.multihost import all_processes_agree
+
+        if not all_processes_agree(
+            benchmark_batch is not None, "benchmark_batch"
+        ):
+            if benchmark_batch is not None:
+                print(
+                    "benchmark batch dropped: at least one process failed "
+                    "to load it, and the benchmark predict is collective"
+                )
+            benchmark_batch = None
     if benchmark_batch is not None:
         if jax.process_count() > 1 and mesh is not None:
             # multi-process: predict_step reads the (process-spanning)

@@ -61,15 +61,17 @@ def _select_backend(device: str) -> None:
 
 
 def main(argv=None) -> None:
-    # multi-process launchers (TPU pods / COORDINATOR_ADDRESS env) join the
-    # jax.distributed process group FIRST — the init refuses to run once any
-    # jax API has initialized the backend, and without it every process
-    # would silently train as an independent single-process job
+    # argparse first (it is jax-free, so --help / flag typos exit cleanly
+    # WITHOUT joining the pod rendezvous), then multi-process launchers
+    # (TPU pods / COORDINATOR_ADDRESS env) join the jax.distributed process
+    # group BEFORE any other jax use — the init refuses to run once any jax
+    # API has initialized the backend, and without it every process would
+    # silently train as an independent single-process job
     # (parallel/multihost.py)
+    args = parse_args(argv)
     from vision_mtl_tpu.parallel.multihost import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-    args = parse_args(argv)
     cfg.update_fields_with_args(args)
     _select_backend(args.device)
     _setup_compile_cache()

@@ -112,7 +112,7 @@ def _run_trial(
     args = copy.deepcopy(args)
     args = update_args(args, dict(loss_weights))
     components = create_main_components(args, data_cfg)
-    tools = create_tools(args)
+    tools = create_tools(args, rendezvous_tag=tag)
     exp, logger = tools["exp"], tools["logger"]
     if exp:
         exp.add_tags([tag])
