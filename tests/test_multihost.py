@@ -317,3 +317,42 @@ def test_metrics_logger_rendezvous(monkeypatch, tmp_path):
     as_process(1)
     with pytest.raises(RuntimeError, match="create_tracking_exp"):
         tb.MetricsLogger(str(tmp_path), "run", rendezvous_tag="main")
+
+
+def test_training_help_skips_pod_rendezvous(tmp_path):
+    """`--help` under a pod-launcher environment (COORDINATOR_ADDRESS set)
+    must print usage and exit 0 WITHOUT joining the jax.distributed
+    rendezvous — argparse runs before maybe_initialize_distributed in
+    training.main. If the order regressed, process 0 would host the
+    coordinator and block waiting for the (nonexistent) second process."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+    env["JAX_PROCESS_ID"] = "0"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vision_mtl_tpu.training", "--help"],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        out = proc.communicate(timeout=240)[0].decode()
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise AssertionError(
+            "--help hung: training.main joined the pod rendezvous before "
+            "parsing args"
+        )
+    assert proc.returncode == 0, out
+    assert "--model_name" in out
