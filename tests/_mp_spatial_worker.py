@@ -168,10 +168,21 @@ def main() -> None:
     tmpdir = os.path.dirname(os.path.abspath(out_path))
     log_dirs = []
     for i in range(2):  # sequence counter must stay aligned across loggers
-        lg = MetricsLogger(tmpdir, "mlog")
+        lg = MetricsLogger(tmpdir, "mlog", rendezvous_tag=f"mlog_{i}")
         lg.log_metrics({"x": float(pid)}, step=i)
         log_dirs.append(lg.log_dir)
         lg.close()
+
+    # ---- all_processes_agree over the REAL coordination-service KV store
+    # (the threaded double in test_multihost.py covers the semantics; this
+    # covers the actual client API): uniform True -> True everywhere,
+    # divergent per-host flags -> False everywhere ----
+    from vision_mtl_tpu.parallel.multihost import all_processes_agree
+
+    agree = [
+        all_processes_agree(True, "bench"),
+        all_processes_agree(pid == 0, "bench"),
+    ]
 
     result = {
         "process_id": pid,
@@ -179,6 +190,7 @@ def main() -> None:
         "expected_sum": want_sum,
         "conv_max_abs_err": float(np.abs(got_conv - want_conv).max()),
         "log_dirs": log_dirs,
+        "agree": agree,
     }
     with open(out_path, "w") as f:
         json.dump(result, f)

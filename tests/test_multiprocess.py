@@ -170,6 +170,11 @@ def test_two_process_spatial_mesh(tmp_path):
         assert r["conv_max_abs_err"] < 1e-4, r["conv_max_abs_err"]
         results.append(r)
 
+    # all_processes_agree over the real KV store: uniform flags pass,
+    # divergent flags AND-reduce to False on every process
+    assert results[0]["agree"] == [True, False]
+    assert results[1]["agree"] == [True, False]
+
     # MetricsLogger agreed on ONE run dir per construction across processes
     # (checkpoint-path coherence), and only process 0 wrote the sink
     assert results[0]["log_dirs"] == results[1]["log_dirs"]
