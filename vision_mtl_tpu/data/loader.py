@@ -123,10 +123,12 @@ class DataLoader:
     def _process_shard() -> t.Tuple[int, int]:
         """(process_index, process_count) under jax.distributed; (0, 1)
         single-process. Thin wrapper (kept for test monkeypatching) around
-        the shared parallel/multihost helper."""
-        from vision_mtl_tpu.parallel.multihost import process_info
+        the shared parallel/multihost helper. The no-backend variant keeps
+        host-only loader iteration (e.g. scripts/bench_pipeline.py's timed
+        region) from triggering device-backend bring-up."""
+        from vision_mtl_tpu.parallel.multihost import process_info_no_backend
 
-        return process_info()
+        return process_info_no_backend()
 
     def __iter__(self) -> t.Iterator[Batch]:
         batches = self._index_batches()

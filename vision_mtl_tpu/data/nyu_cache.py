@@ -67,7 +67,7 @@ def build_cache(ds: t.Any, force: bool = False) -> str:
     prepared arrays. Idempotent: a valid existing cache is kept unless
     ``force``. Returns the cache directory."""
     cdir = cache_dir_for(ds)
-    if not force and open_cache(ds) is not None:
+    if not force and cache_valid(ds):
         return cdir
     os.makedirs(cdir, exist_ok=True)
 
@@ -131,18 +131,19 @@ def build_cache(ds: t.Any, force: bool = False) -> str:
     return cdir
 
 
-def open_cache(ds: t.Any) -> t.Optional[t.Dict[str, np.ndarray]]:
-    """Open a cache for this dataset's (stage, transform, max_depth, file
-    list); None when absent or stale."""
+def cache_valid(ds: t.Any) -> bool:
+    """Metadata-only validity probe for this dataset's (stage, transform,
+    max_depth, file list) — opens NO array memmaps, so it is the right check
+    for callers that only need a yes/no (build_cache's idempotency guard)."""
     cdir = cache_dir_for(ds)
     meta_path = os.path.join(cdir, "meta.json")
     if not os.path.exists(meta_path):
-        return None
+        return False
     try:
         with open(meta_path) as f:
             meta = json.load(f)
     except (OSError, ValueError):
-        return None
+        return False
     expected = {
         "version": CACHE_VERSION,
         "n": len(ds),
@@ -150,7 +151,19 @@ def open_cache(ds: t.Any) -> t.Optional[t.Dict[str, np.ndarray]]:
         "filenames_sha1": _filenames_sha1(ds.filenames),
     }
     if any(meta.get(k) != v for k, v in expected.items()):
+        return False
+    return all(
+        os.path.exists(os.path.join(cdir, f"{k}.npy"))
+        for k in ("img", "mask", "depth")
+    )
+
+
+def open_cache(ds: t.Any) -> t.Optional[t.Dict[str, np.ndarray]]:
+    """Open a cache for this dataset's (stage, transform, max_depth, file
+    list); None when absent or stale."""
+    if not cache_valid(ds):
         return None
+    cdir = cache_dir_for(ds)
     try:
         return {
             k: np.load(os.path.join(cdir, f"{k}.npy"), mmap_mode="r")

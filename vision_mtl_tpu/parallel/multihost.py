@@ -101,6 +101,25 @@ def process_info() -> t.Tuple[int, int]:
         return 0, 1
 
 
+def process_info_no_backend() -> t.Tuple[int, int]:
+    """Like :func:`process_info`, but read from the jax.distributed runtime
+    state WITHOUT initializing a device backend. Multi-process jax exists
+    only through ``jax.distributed.initialize`` (which populates this state
+    before any backend is live), so the answer is identical — while a
+    host-only caller (e.g. iterating a DataLoader in a loader benchmark)
+    stays free of the expensive/remote backend bring-up that
+    ``jax.process_index()`` would trigger."""
+    try:
+        from jax._src import distributed
+
+        st = distributed.global_state
+        if st.client is not None and st.num_processes:
+            return int(st.process_id), int(st.num_processes)
+    except Exception:
+        pass
+    return 0, 1
+
+
 _agree_seq = itertools.count()
 
 

@@ -88,22 +88,27 @@ def create_tools(
 
     proc0 = process_info()[0] == 0
     try:
+        # EVERYTHING before the MetricsLogger construction below is guarded:
+        # peers may already be blocking in the run-dir rendezvous, so a
+        # process-0 death here (comet experiment creation, remote
+        # log_parameters/add_tags calls) must unblock them loudly instead of
+        # letting them sit out the 10-minute KV timeout with no reason
         exp = create_tracking_exp(args) if proc0 else None
-    except Exception:
-        # peers are already blocking in the MetricsLogger run-dir
-        # rendezvous below — unblock them loudly instead of letting them
-        # sit out the 10-minute KV timeout with no indication why
+        if not args.exp_disabled and exp:
+            args.run_name = exp.name
+        log_params_to_exp(exp, vars(args), "args")
+        if exp:
+            exp.add_tags(
+                [args.model_name, args.dataset_name] + args.exp_tags
+            )
+    except Exception as e:
         from vision_mtl_tpu.tracking.tb import publish_logger_failure
 
         publish_logger_failure(
-            f"create_tracking_exp raised on process 0 ({rendezvous_tag})"
+            f"tracking setup raised on process 0 before the logger "
+            f"rendezvous ({rendezvous_tag}): {type(e).__name__}: {e}"
         )
         raise
-    if not args.exp_disabled and exp:
-        args.run_name = exp.name
-    log_params_to_exp(exp, vars(args), "args")
-    if exp:
-        exp.add_tags([args.model_name, args.dataset_name] + args.exp_tags)
 
     log_subdir_name = f"training-{args.model_name}"
     if args.run_name:

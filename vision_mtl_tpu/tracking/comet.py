@@ -33,6 +33,12 @@ class NullExperiment:
         return self._noop
 
 
+# failed imports are NOT cached by Python, and comet_enabled is called
+# every validation epoch — probe once per process (installation state
+# cannot change mid-run)
+_comet_importable: t.Optional[bool] = None
+
+
 def comet_enabled(args: argparse.Namespace) -> bool:
     """Pure predicate: would :func:`create_tracking_exp` return a REAL
     experiment? Derived only from args / config / installed deps, so every
@@ -42,11 +48,15 @@ def comet_enabled(args: argparse.Namespace) -> bool:
     (train/loop.py benchmark predictions)."""
     if getattr(args, "exp_disabled", True) or cfg.logger.disabled:
         return False
-    try:
-        import comet_ml  # noqa: F401
-    except ImportError:
-        return False
-    return True
+    global _comet_importable
+    if _comet_importable is None:
+        try:
+            import comet_ml  # noqa: F401
+
+            _comet_importable = True
+        except ImportError:
+            _comet_importable = False
+    return _comet_importable
 
 
 def create_tracking_exp(

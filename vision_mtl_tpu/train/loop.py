@@ -45,6 +45,39 @@ def _metrics_float(mstate) -> t.Dict[str, float]:
     return {k: float(v) for k, v in compute_metrics(mstate).items()}
 
 
+class _LaggedLossLog:
+    """One-step-lagged per-step loss logging: step N's device_get happens
+    only after step N+1 was enqueued, so the host sync overlaps device
+    compute instead of serializing dispatch against completion (measured:
+    the eager fetch cost run_pipe ~its whole step budget through the relay
+    — docs/BENCH_NOTES.md round-3). ONE device_get per logged step (a
+    per-scalar float() would round-trip 3x). Shared by the train and val
+    loops; call ``flush()`` after the loop to drain the last pending step."""
+
+    def __init__(self, prefix: str, logger: t.Any, exp: t.Any = None):
+        self._prefix, self._logger, self._exp = prefix, logger, exp
+        self._pending: t.Optional[t.Tuple[int, t.Any]] = None
+
+    def offer(self, step_no: int, step_losses: t.Any, want: bool) -> None:
+        self.flush()
+        if self._logger is not None and want:
+            self._pending = (step_no, step_losses)
+
+    def flush(self) -> None:
+        if self._pending is None:
+            return
+        step_no, step_losses = self._pending
+        self._pending = None
+        stats = {
+            f"{self._prefix}/{k}": float(v)
+            for k, v in jax.device_get(step_losses).items()
+        }
+        self._logger.log_metrics(stats, step=step_no)
+        if self._exp:
+            for k, v in stats.items():
+                self._exp.log_metric(k, v, step=step_no)
+
+
 def _log_param_histograms(logger: t.Any, state: TrainState, step: int) -> None:
     tb = getattr(logger, "_tb", None)
     if tb is None:
@@ -179,32 +212,12 @@ def run_pipe(
         # ---------------- train ----------------
         mstate = init_metrics(num_classes)
 
-        def _flush_step_log(pending: t.Tuple[int, t.Any]) -> None:
-            # ONE device_get for all loss scalars (single host sync per
-            # logged step; per-scalar float() would round-trip 3x)
-            step_no, step_losses = pending
-            host_losses = jax.device_get(step_losses)
-            step_stats = {
-                f"step/train/{k}": float(v) for k, v in host_losses.items()
-            }
-            logger.log_metrics(step_stats, step=step_no)
-            if exp:
-                for k, v in step_stats.items():
-                    exp.log_metric(k, v, step=step_no)
-
-        # the loss fetch lags one step behind dispatch: step N's device_get
-        # happens only after step N+1 was enqueued, so the host sync overlaps
-        # device compute instead of serializing dispatch against completion
-        # (bench.py-measured: the eager fetch cost run_pipe ~its whole step
-        # budget through the relay — docs/BENCH_NOTES.md round-3)
-        pending_log: t.Optional[t.Tuple[int, t.Any]] = None
+        step_log = _LaggedLossLog("step/train", logger, exp)
         for batch in prefetch_to_device(train_loader, mesh, size=2):
             state, mstate, losses = train_step(state, batch, mstate)
-            if pending_log is not None:
-                _flush_step_log(pending_log)
-                pending_log = None
-            if logger is not None and global_step % log_every_n_steps == 0:
-                pending_log = (global_step, losses)
+            step_log.offer(
+                global_step, losses, global_step % log_every_n_steps == 0
+            )
             if (
                 log_param_histograms_every
                 and global_step % log_param_histograms_every == 0
@@ -214,8 +227,7 @@ def run_pipe(
                 # fetching all params to host is expensive.
                 _log_param_histograms(logger, state, global_step)
             global_step += 1
-        if pending_log is not None:
-            _flush_step_log(pending_log)
+        step_log.flush()
 
         train_metrics = _metrics_float(mstate)
         for k, v in train_metrics.items():
@@ -280,32 +292,18 @@ def run_pipe(
                     print("benchmark plot failed:", e)
 
             val_mstate = init_metrics(num_classes)
-            pending_val: t.Optional[t.Tuple[int, t.Any]] = None
-
-            def _flush_val_log(pending: t.Tuple[int, t.Any]) -> None:
-                step_no, step_losses = pending
-                logger.log_metrics(
-                    {
-                        f"step/val/{k}": float(v)
-                        for k, v in jax.device_get(step_losses).items()
-                    },
-                    step=step_no,
-                )
-
+            # reference logs val steps to TB and comet (training_lit.py:
+            # 143-145); exp is process-0-only, matching the sink ownership
+            val_log = _LaggedLossLog("step/val", logger, exp)
             for batch in prefetch_to_device(
                 datamodule.val_dataloader(), mesh, size=2
             ):
                 val_mstate, losses = eval_step(state, batch, val_mstate)
-                # same one-step lag as the train loop: keep dispatch ahead
-                # of the host sync
-                if pending_val is not None:
-                    _flush_val_log(pending_val)
-                    pending_val = None
-                if logger is not None and val_step % log_every_n_steps == 0:
-                    pending_val = (val_step, losses)
+                val_log.offer(
+                    val_step, losses, val_step % log_every_n_steps == 0
+                )
                 val_step += 1
-            if pending_val is not None:
-                _flush_val_log(pending_val)
+            val_log.flush()
 
             # summed val loss drives the plateau scheduler (reference :168)
             val_loss_sum = float(val_mstate.loss_sum)
