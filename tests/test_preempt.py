@@ -1,0 +1,236 @@
+"""Preemption-safe training (train/preempt.py): signal/injection guard,
+loader mid-epoch skip, and the end-to-end guarantee — a run interrupted
+mid-epoch and resumed from its preemption checkpoint reproduces the
+uninterrupted run exactly (params, optimizer, metric accumulators,
+shuffle order)."""
+
+import argparse
+import os
+import signal
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_mtl_tpu.cfg import fetch_data_cfg
+from vision_mtl_tpu.data.datamodule import MTLDataModule
+from vision_mtl_tpu.data.loader import DataLoader
+from vision_mtl_tpu.data.synthetic import SyntheticMTLDataset
+from vision_mtl_tpu.models.mtan import MTANMiniUnet
+from vision_mtl_tpu.train.checkpoint import (
+    resolve_resume,
+    restore_preempt,
+    save_ckpt,
+)
+from vision_mtl_tpu.train.loop import run_pipe
+from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
+from vision_mtl_tpu.train.preempt import PreemptionGuard
+from vision_mtl_tpu.train.state import create_train_state
+
+
+def _tiny_model(nc):
+    return MTANMiniUnet(
+        map_tasks_to_num_channels={"depth": 1, "segm": nc},
+        task_subnets_hidden_channels=8,
+        encoder_first_channel=8,
+        encoder_num_channels=2,
+        dtype=jnp.float32,
+    )
+
+
+class _Logger:
+    def __init__(self, tmp):
+        self.log_dir = str(tmp)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    def log_metrics(self, *a, **k):
+        pass
+
+    def log_figure(self, *a, **k):
+        pass
+
+
+def _args():
+    return argparse.Namespace(
+        loss_segm_weight=1.0,
+        loss_depth_weight=1.0,
+        val_epoch_freq=1,
+        save_epoch_freq=10,
+        do_plot_preds=False,
+        do_show_preds=False,
+    )
+
+
+def test_loader_skip_batches():
+    ds = SyntheticMTLDataset(stage="train")
+    full = list(DataLoader(ds, batch_size=8, shuffle=True, seed=3))
+    lo = DataLoader(ds, batch_size=8, shuffle=True, seed=3)
+    lo.skip_batches = 3
+    tail = list(lo)
+    assert len(tail) == len(full) - 3
+    for got, want in zip(tail, full[3:]):
+        np.testing.assert_array_equal(got["img"], want["img"])
+    # one-shot: the next epoch runs in full (different seeded order)
+    assert lo.skip_batches == 0
+    assert len(list(lo)) == len(full)
+
+
+def test_guard_injection_and_signal():
+    g = PreemptionGuard(inject_at_step=5)
+    assert not g.requested(4)
+    assert g.requested(5) and g.requested(6)
+
+    old = signal.getsignal(signal.SIGTERM)
+    try:
+        g2 = PreemptionGuard()
+        assert not g2.requested(0)
+        os.kill(os.getpid(), signal.SIGTERM)
+        deadline = time.time() + 5.0
+        while not g2.requested(0) and time.time() < deadline:
+            time.sleep(0.01)
+        assert g2.requested(0)
+    finally:
+        signal.signal(signal.SIGTERM, old)
+
+
+def test_preempt_mid_epoch_exact_resume(tmp_path):
+    nc = fetch_data_cfg("synthetic").num_classes
+    model = _tiny_model(nc)
+    args = _args()
+
+    def fresh_state():
+        return create_train_state(
+            model, jax.random.key(0), jnp.zeros((8, 64, 64, 3)), lr=3e-3
+        )
+
+    def fresh_dm():
+        dm = MTLDataModule("synthetic", batch_size=8)
+        dm.setup()
+        return dm
+
+    # ---- run A: uninterrupted 2 epochs ----
+    dm = fresh_dm()
+    n_batches = len(dm.train_dataloader())
+    assert n_batches >= 4  # need a mid-epoch step to interrupt at
+    state_a, metrics_a = run_pipe(
+        args, model, fresh_state(), dm,
+        num_epochs=2, num_classes=nc, logger=_Logger(tmp_path / "a"),
+    )
+
+    # ---- run B: preempted mid-epoch-2 (injected fault), then resumed ----
+    interrupt_at = n_batches + 2  # 2 steps into epoch index 1
+    guard = PreemptionGuard(inject_at_step=interrupt_at)
+    ckpt_dir = tmp_path / "b"
+    with pytest.raises(SystemExit) as exc:
+        run_pipe(
+            args, model, fresh_state(), fresh_dm(),
+            num_epochs=2, num_classes=nc, logger=_Logger(ckpt_dir),
+            preempt_guard=guard,
+        )
+    assert exc.value.code == 143
+    assert resolve_resume(str(ckpt_dir)) == "preempt"
+
+    sched = ReduceLROnPlateau(patience=2, factor=0.9)
+    state, sched, epoch, batch_in_epoch, mstate, val_step = restore_preempt(
+        fresh_state(), sched, str(ckpt_dir), nc
+    )
+    assert (epoch, batch_in_epoch) == (1, 2)
+    assert val_step > 0  # epoch 1's validation already ran
+    state_b, metrics_b = run_pipe(
+        args, model, state, fresh_dm(),
+        num_epochs=2, num_classes=nc, logger=_Logger(tmp_path / "b2"),
+        scheduler=sched, start_epoch=epoch, start_batch=batch_in_epoch,
+        initial_train_mstate=mstate, start_val_step=val_step,
+    )
+
+    # the resumed trajectory IS the uninterrupted one: params and the
+    # interrupted epoch's full train/val metrics match exactly
+    for pa, pb in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert int(state_a.step) == int(state_b.step)
+    for k in metrics_a["train"]:
+        np.testing.assert_allclose(
+            metrics_b["train"][k][-1], metrics_a["train"][k][-1],
+            rtol=0, atol=0, err_msg=k,
+        )
+    for k in metrics_a["val"]:
+        np.testing.assert_allclose(
+            metrics_b["val"][k][-1], metrics_a["val"][k][-1],
+            rtol=0, atol=0, err_msg=k,
+        )
+
+
+def test_resolve_resume_prefers_latest(tmp_path):
+    """A stale preemption artifact must lose to later epoch checkpoints."""
+    nc = fetch_data_cfg("synthetic").num_classes
+    model = _tiny_model(nc)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=1e-3
+    )
+    sched = ReduceLROnPlateau()
+
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.train.checkpoint import save_preempt_ckpt
+
+    # preempted at epoch 1, batch 2 ...
+    save_preempt_ckpt(
+        state, sched, 1, 2, init_metrics(nc), 4, str(tmp_path)
+    )
+    assert resolve_resume(str(tmp_path)) == "preempt"
+    # ... then (after a resume) epoch 3 completed normally
+    save_ckpt(state, sched, 3, str(tmp_path))
+    assert resolve_resume(str(tmp_path)) == "epoch"
+    # ... and a NEWER preemption (epoch 4, mid-epoch) wins again
+    save_preempt_ckpt(
+        state, sched, 4, 1, init_metrics(nc), 8, str(tmp_path)
+    )
+    assert resolve_resume(str(tmp_path)) == "preempt"
+
+
+def test_cli_preempt_and_resume_end_to_end(tmp_path):
+    """The full CLI flow: --preempt_save + an injected preemption exits 143
+    with a mid-epoch checkpoint; --resume_dir detects it (resolve_resume)
+    and finishes the run."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["VMTL_LOG_ROOT"] = str(tmp_path)
+    cli = [
+        sys.executable, "-m", "vision_mtl_tpu.training",
+        "--device", "cpu:1", "--dataset_name", "synthetic",
+        "--model_name", "basic", "--num_epochs", "2",
+        "--batch_size", "8", "--exp_disabled",
+    ]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    env1 = dict(env, VMTL_PREEMPT_AT_STEP="3")
+    p1 = subprocess.run(
+        cli + ["--preempt_save"], env=env1, cwd=cwd, timeout=560,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    out1 = p1.stdout.decode()
+    assert p1.returncode == 143, out1[-3000:]
+    assert "Preemption checkpoint saved" in out1
+
+    run_dir = os.path.join(str(tmp_path), "training-basic", "version_0")
+    assert os.path.isdir(os.path.join(run_dir, "preempt_model")), os.listdir(
+        os.path.join(str(tmp_path), "training-basic")
+    )
+    assert resolve_resume(run_dir) == "preempt"
+
+    p2 = subprocess.run(
+        cli + ["--resume_dir", run_dir], env=env, cwd=cwd, timeout=560,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    out2 = p2.stdout.decode()
+    assert p2.returncode == 0, out2[-3000:]
+    assert "Resumed preempted run" in out2
+    assert "predict:" in out2  # ran to completion through the predict sweep

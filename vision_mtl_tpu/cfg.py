@@ -224,7 +224,13 @@ class PipelineConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
-    log_root_dir: Path = root_dir / "lightning_logs"
+    # run-dir root; VMTL_LOG_ROOT redirects it (tests, shared-filesystem
+    # pods where every process must resolve the same absolute root)
+    log_root_dir: Path = dataclasses.field(
+        default_factory=lambda: Path(
+            os.environ.get("VMTL_LOG_ROOT", str(root_dir / "lightning_logs"))
+        )
+    )
 
     def update_fields_with_args(self, args: argparse.Namespace) -> None:
         """Update config fields from parsed CLI args (reference cfg.py:198-204)."""

@@ -98,6 +98,11 @@ class DataLoader:
         # process-spanning spatial/model meshes — put_batch slices it)
         self.shard_rows = shard_rows
         self.epoch = 0
+        # one-shot: the NEXT iteration skips this many leading batches
+        # (without decoding them) then resets to 0 — preemption resume
+        # replays the interrupted epoch's seeded order from mid-epoch
+        # (train/preempt.py)
+        self.skip_batches = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -132,6 +137,9 @@ class DataLoader:
 
     def __iter__(self) -> t.Iterator[Batch]:
         batches = self._index_batches()
+        if self.skip_batches:
+            batches = batches[self.skip_batches :]
+            self.skip_batches = 0
         self.epoch += 1
 
         # host-sharded loading (multi-process SPMD): every host computes the

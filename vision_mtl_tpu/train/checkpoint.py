@@ -214,6 +214,170 @@ def restore_session(
     return state, scheduler, int(session["epoch"]) + 1
 
 
+PREEMPT_MODEL = "preempt_model"
+PREEMPT_SESSION = "preempt_session"
+PREEMPT_META = "preempt_meta.json"
+
+
+def save_preempt_ckpt(
+    state: TrainState,
+    scheduler: ReduceLROnPlateau,
+    epoch: int,
+    batch_in_epoch: int,
+    train_mstate: t.Any,
+    val_step: int,
+    save_dir: str,
+) -> t.Tuple[str, str]:
+    """Mid-epoch checkpoint written on a preemption notice
+    (train/preempt.py): the regular dual artifacts PLUS the in-progress
+    epoch's position and metric accumulators, so ``--resume_dir`` continues
+    the interrupted epoch exactly (same shuffle order, already-trained
+    batches skipped, epoch-end train metrics identical). Collective under
+    jax.distributed, like save_ckpt. Always blocks — the process is about
+    to die, an async write would be lost."""
+    from flax.serialization import to_state_dict
+
+    os.makedirs(save_dir, exist_ok=True)
+    model_path = os.path.abspath(os.path.join(save_dir, PREEMPT_MODEL))
+    session_path = os.path.abspath(os.path.join(save_dir, PREEMPT_SESSION))
+    ckptr = _checkpointer()
+    # a prior preemption's artifact may exist; orbax force=True overwrites,
+    # but wait for in-flight async epoch saves first so the directory state
+    # is quiescent
+    ckptr.wait_until_finished()
+    ckptr.save(
+        model_path,
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        },
+        force=True,
+    )
+    ckptr.save(
+        session_path,
+        {
+            "opt_state": jax.device_get(state.opt_state),
+            "lr": np.float32(get_lr(state)),
+            "scheduler": scheduler.state_dict(),
+            "epoch": epoch,
+            "batch_in_epoch": batch_in_epoch,
+            "step": int(state.step),
+            "val_step": int(val_step),
+            "train_metrics": to_state_dict(jax.device_get(train_mstate)),
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    # position sidecar: lets resolve_resume compare recency without a full
+    # Orbax restore (orbax has no partial scalar reads without the tree)
+    from vision_mtl_tpu.parallel.multihost import process_info_no_backend
+
+    if process_info_no_backend()[0] == 0:
+        import json
+
+        with open(os.path.join(save_dir, PREEMPT_META), "w") as f:
+            json.dump({"epoch": epoch, "batch_in_epoch": batch_in_epoch}, f)
+    print(
+        f"Preemption checkpoint saved to {model_path} "
+        f"(epoch {epoch}, batch {batch_in_epoch})"
+    )
+    return model_path, session_path
+
+
+def _has_preempt_ckpt(ckpt_dir: str) -> bool:
+    return (
+        os.path.isdir(os.path.join(ckpt_dir, PREEMPT_MODEL))
+        and os.path.isdir(os.path.join(ckpt_dir, PREEMPT_SESSION))
+        and os.path.exists(os.path.join(ckpt_dir, PREEMPT_META))
+    )
+
+
+def resolve_resume(ckpt_dir: str) -> str:
+    """``"preempt"`` when the mid-epoch preemption artifact represents the
+    LATEST training state in ``ckpt_dir``, else ``"epoch"``. A stale
+    preemption artifact (superseded by later epoch saves after a successful
+    resume) loses the (epoch, batch) lexicographic comparison."""
+    import json
+
+    wait_for_saves()
+    if not _has_preempt_ckpt(ckpt_dir):
+        return "epoch"
+    with open(os.path.join(ckpt_dir, PREEMPT_META)) as f:
+        meta = json.load(f)
+    preempt_pos = (int(meta["epoch"]), int(meta["batch_in_epoch"]))
+    try:
+        epoch_pos = (_latest_common_epoch(ckpt_dir) + 1, 0)
+    except ValueError:
+        return "preempt"
+    return "preempt" if preempt_pos > epoch_pos else "epoch"
+
+
+def restore_preempt(
+    state: TrainState,
+    scheduler: ReduceLROnPlateau,
+    ckpt_dir: str,
+    num_classes: int,
+) -> t.Tuple[TrainState, ReduceLROnPlateau, int, int, t.Any, int]:
+    """Restore a preemption checkpoint. Returns
+    ``(state, scheduler, epoch, batch_in_epoch, train_mstate, val_step)``
+    where ``epoch`` is the INTERRUPTED epoch to continue (not +1) and
+    ``batch_in_epoch`` the number of its batches already trained."""
+    from flax.serialization import from_state_dict, to_state_dict
+
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.train.state import set_lr
+
+    wait_for_saves()
+    model = _checkpointer().restore(
+        os.path.abspath(os.path.join(ckpt_dir, PREEMPT_MODEL))
+    )
+    mstate0 = init_metrics(num_classes)
+    target = {
+        "opt_state": jax.device_get(state.opt_state),
+        "lr": np.zeros((), np.float32),
+        "scheduler": scheduler.state_dict(),
+        "epoch": 0,
+        "batch_in_epoch": 0,
+        "step": 0,
+        "val_step": 0,
+        "train_metrics": to_state_dict(jax.device_get(mstate0)),
+    }
+    session = _checkpointer().restore(
+        os.path.abspath(os.path.join(ckpt_dir, PREEMPT_SESSION)), target
+    )
+
+    def cast(tgt, src):
+        src = np.asarray(src)
+        if tgt.shape != src.shape:
+            raise ValueError(
+                f"preempt checkpoint/model shape mismatch: {src.shape} vs "
+                f"{tgt.shape} — wrong model config for this checkpoint?"
+            )
+        return src.astype(tgt.dtype)
+
+    state = state.replace(
+        params=jax.tree.map(
+            cast, jax.device_get(state.params), model["params"]
+        ),
+        batch_stats=jax.tree.map(
+            cast, jax.device_get(state.batch_stats), model["batch_stats"]
+        ),
+        opt_state=session["opt_state"],
+        step=int(session["step"]),
+    )
+    state = set_lr(state, float(session["lr"]))
+    scheduler.load_state_dict(session["scheduler"])
+    mstate = from_state_dict(mstate0, session["train_metrics"])
+    return (
+        state,
+        scheduler,
+        int(session["epoch"]),
+        int(session["batch_in_epoch"]),
+        mstate,
+        int(session["val_step"]),
+    )
+
+
 def log_args(
     args: argparse.Namespace, save_path: str, exp: t.Any = None
 ) -> None:

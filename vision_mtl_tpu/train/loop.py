@@ -108,11 +108,23 @@ def run_pipe(
     epoch_callback: t.Optional[
         t.Callable[[int, t.Dict[str, float]], None]
     ] = None,
+    preempt_guard: t.Any = None,
+    start_batch: int = 0,
+    initial_train_mstate: t.Any = None,
+    start_val_step: int = 0,
 ) -> t.Tuple[TrainState, t.Dict[str, t.Dict[str, list]]]:
     """``epoch_callback(epoch, val_metrics)`` fires after each validation
     epoch (hyperparameter-tuning hook: the pruning callback raises
     TrialPruned to stop the run early — tuning.py). Exceptions propagate;
-    pending async checkpoint saves are finalized either way."""
+    pending async checkpoint saves are finalized either way.
+
+    ``preempt_guard`` (train/preempt.py) is polled at every step boundary;
+    when it fires, a mid-epoch preemption checkpoint is written and the
+    process exits 143. ``start_batch``/``initial_train_mstate``/
+    ``start_val_step`` continue an interrupted epoch exactly: the loader
+    skips the already-trained batches of ``start_epoch``'s seeded order and
+    the epoch's metric accumulators pick up where they stopped
+    (checkpoint.restore_preempt)."""
     if mesh is not None:
         # place params/opt_state on the mesh — tensor-parallel layout when
         # the mesh has a 'model' axis, explicit replication otherwise. This
@@ -190,7 +202,7 @@ def run_pipe(
     # resume continues the step axis (state.step was restored by
     # restore_session) so step-level metric streams do not restart at 0
     global_step = int(state.step)
-    val_step = 0
+    val_step = start_val_step
     if logger is None:
         print(
             "WARNING: run_pipe called without a logger — no checkpoints "
@@ -206,11 +218,21 @@ def run_pipe(
     # would silently train on the same batch order every epoch
     train_loader = datamodule.train_dataloader()
     train_loader.epoch = start_epoch  # resume continues the shuffle stream
+    # mid-epoch (preemption) resume: skip start_epoch's already-trained
+    # batches without decoding them (one-shot — later epochs run in full)
+    train_loader.skip_batches = start_batch
 
     for epoch in range(start_epoch, num_epochs):
         print(f"### Epoch {epoch + 1}/{num_epochs} ###")
         # ---------------- train ----------------
-        mstate = init_metrics(num_classes)
+        if epoch == start_epoch and initial_train_mstate is not None:
+            # continue the interrupted epoch's metric accumulators so its
+            # epoch-end train metrics match an uninterrupted run exactly
+            mstate = initial_train_mstate
+            batch_in_epoch = start_batch
+        else:
+            mstate = init_metrics(num_classes)
+            batch_in_epoch = 0
 
         step_log = _LaggedLossLog("step/train", logger, exp)
         for batch in prefetch_to_device(train_loader, mesh, size=2):
@@ -227,6 +249,38 @@ def run_pipe(
                 # fetching all params to host is expensive.
                 _log_param_histograms(logger, state, global_step)
             global_step += 1
+            batch_in_epoch += 1
+            if preempt_guard is not None and preempt_guard.requested(
+                global_step
+            ):
+                step_log.flush()
+                if logger is not None:
+                    from vision_mtl_tpu.train.checkpoint import (
+                        save_preempt_ckpt,
+                    )
+
+                    save_preempt_ckpt(
+                        state,
+                        scheduler,
+                        epoch,
+                        batch_in_epoch,
+                        mstate,
+                        val_step,
+                        save_dir=logger.log_dir,
+                    )
+                else:
+                    print(
+                        "Preemption requested but run_pipe has no logger — "
+                        "no checkpoint dir to write; exiting without saving."
+                    )
+                from vision_mtl_tpu.train.checkpoint import wait_for_saves
+
+                wait_for_saves()
+                print(
+                    f"Preempted at epoch {epoch + 1} step {global_step}; "
+                    "resume with --resume_dir."
+                )
+                raise SystemExit(143)
         step_log.flush()
 
         train_metrics = _metrics_float(mstate)

@@ -109,15 +109,46 @@ def main(argv=None) -> None:
 
     scheduler = None
     start_epoch = 0
+    start_batch = 0
+    initial_train_mstate = None
+    start_val_step = 0
     if getattr(args, "resume_dir", None):
-        from vision_mtl_tpu.train.checkpoint import restore_session
+        from vision_mtl_tpu.train.checkpoint import (
+            resolve_resume,
+            restore_preempt,
+            restore_session,
+        )
         from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
 
         scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
-        state, scheduler, start_epoch = restore_session(
-            state, scheduler, args.resume_dir
-        )
-        print(f"Resumed from {args.resume_dir} at epoch {start_epoch}")
+        if resolve_resume(args.resume_dir) == "preempt":
+            # a mid-epoch preemption checkpoint is the latest state: resume
+            # INSIDE the interrupted epoch (train/preempt.py)
+            (
+                state,
+                scheduler,
+                start_epoch,
+                start_batch,
+                initial_train_mstate,
+                start_val_step,
+            ) = restore_preempt(
+                state, scheduler, args.resume_dir, data_cfg.num_classes
+            )
+            print(
+                f"Resumed preempted run {args.resume_dir} at epoch "
+                f"{start_epoch} batch {start_batch}"
+            )
+        else:
+            state, scheduler, start_epoch = restore_session(
+                state, scheduler, args.resume_dir
+            )
+            print(f"Resumed from {args.resume_dir} at epoch {start_epoch}")
+
+    preempt_guard = None
+    if getattr(args, "preempt_save", False):
+        from vision_mtl_tpu.train.preempt import PreemptionGuard
+
+        preempt_guard = PreemptionGuard()
 
     state, _ = run_pipe(
         args,
@@ -134,6 +165,10 @@ def main(argv=None) -> None:
         ),
         scheduler=scheduler,
         start_epoch=start_epoch,
+        preempt_guard=preempt_guard,
+        start_batch=start_batch,
+        initial_train_mstate=initial_train_mstate,
+        start_val_step=start_val_step,
     )
 
     preds, predict_metrics = predict(

@@ -133,6 +133,14 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         "half of its activation memory — high-resolution opt-in).",
     )
     tpu_args.add_argument(
+        "--preempt_save",
+        action="store_true",
+        help="Preemption-safe training: on SIGTERM (spot/preemptible TPU "
+        "eviction notice) write a mid-epoch checkpoint at the next step "
+        "boundary and exit; --resume_dir continues the interrupted epoch "
+        "exactly (train/preempt.py).",
+    )
+    tpu_args.add_argument(
         "--grad_accum_steps",
         type=int,
         default=1,
