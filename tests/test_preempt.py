@@ -226,11 +226,46 @@ def test_cli_preempt_and_resume_end_to_end(tmp_path):
     )
     assert resolve_resume(run_dir) == "preempt"
 
+    # a relaunch loop re-runs the SAME command: --auto_resume finds the
+    # interrupted run dir itself
     p2 = subprocess.run(
-        cli + ["--resume_dir", run_dir], env=env, cwd=cwd, timeout=560,
+        cli + ["--auto_resume"], env=env, cwd=cwd, timeout=560,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     out2 = p2.stdout.decode()
     assert p2.returncode == 0, out2[-3000:]
+    assert f"--auto_resume: resuming {run_dir}" in out2
     assert "Resumed preempted run" in out2
     assert "predict:" in out2  # ran to completion through the predict sweep
+
+
+def test_find_latest_resumable_run(tmp_path):
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.train.checkpoint import (
+        find_latest_resumable_run,
+        save_preempt_ckpt,
+    )
+
+    assert find_latest_resumable_run(str(tmp_path / "absent")) is None
+
+    base = tmp_path / "training-basic"
+    for v in range(3):
+        os.makedirs(base / f"version_{v}")
+    # nothing resumable yet (empty run dirs — e.g. crashed before saving)
+    assert find_latest_resumable_run(str(base)) is None
+
+    nc = fetch_data_cfg("synthetic").num_classes
+    model = _tiny_model(nc)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=1e-3
+    )
+    # version_1 has a full epoch pair; version_2 (newer) stays empty — the
+    # scan must skip the empty one and return version_1
+    save_ckpt(state, ReduceLROnPlateau(), 0, str(base / "version_1"))
+    assert find_latest_resumable_run(str(base)) == str(base / "version_1")
+    # a newer preempted run wins
+    save_preempt_ckpt(
+        state, ReduceLROnPlateau(), 0, 1, init_metrics(nc), 0,
+        str(base / "version_2"),
+    )
+    assert find_latest_resumable_run(str(base)) == str(base / "version_2")

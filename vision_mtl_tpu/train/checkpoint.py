@@ -378,6 +378,32 @@ def restore_preempt(
     )
 
 
+def find_latest_resumable_run(base_dir: str) -> t.Optional[str]:
+    """Newest ``version_*`` run dir under ``base_dir`` holding a resumable
+    checkpoint (a preemption artifact or a complete model/session epoch
+    pair); None when there is nothing to resume. Backs ``--auto_resume``:
+    spot-VM relaunch loops re-run the SAME command line, so the CLI must
+    find the interrupted run itself (training.py)."""
+    if not os.path.isdir(base_dir):
+        return None
+    pattern = re.compile(r"version_(\d+)$")
+    versions = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(base_dir)
+        if (m := pattern.match(f))
+    )
+    for _, name in reversed(versions):
+        d = os.path.join(base_dir, name)
+        if _has_preempt_ckpt(d):
+            return d
+        try:
+            _latest_common_epoch(d)
+            return d
+        except ValueError:
+            continue
+    return None
+
+
 def log_args(
     args: argparse.Namespace, save_path: str, exp: t.Any = None
 ) -> None:

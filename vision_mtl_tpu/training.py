@@ -80,6 +80,26 @@ def main(argv=None) -> None:
     if getattr(args, "data_dir", None):
         data_cfg.data_dir = args.data_dir
 
+    if getattr(args, "auto_resume", False) and not getattr(
+        args, "resume_dir", None
+    ):
+        # relaunch-loop resume: same command line finds its own interrupted
+        # run (deterministic scan of the shared run-dir root, so every
+        # jax.distributed process resolves the same answer)
+        from vision_mtl_tpu.train.checkpoint import find_latest_resumable_run
+
+        base = os.path.join(
+            str(cfg.log_root_dir), f"training-{args.model_name}"
+        )
+        if args.run_name:
+            base = os.path.join(base, args.run_name)
+        found = find_latest_resumable_run(base)
+        if found:
+            args.resume_dir = found
+            print(f"--auto_resume: resuming {found}")
+        else:
+            print("--auto_resume: no resumable run found; starting fresh")
+
     mesh = create_mesh(args.mesh_shape) if len(jax.devices()) > 1 else None
     if mesh is not None:
         print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")

@@ -24,6 +24,13 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         help="Exact-resume a run: restore params, optimizer, lr, plateau "
         "scheduler and epoch from this run dir and continue training.",
     )
+    pipe_args.add_argument(
+        "--auto_resume",
+        action="store_true",
+        help="Resume the newest resumable run dir for this model/run_name "
+        "(spot-VM relaunch loops re-run the same command); starts fresh "
+        "when none exists. Ignored when --resume_dir is given.",
+    )
     pipe_args.add_argument("--run_name")
     pipe_args.add_argument(
         "--device",
