@@ -165,6 +165,83 @@ def test_preempt_mid_epoch_exact_resume(tmp_path):
         )
 
 
+class _CountingGuard:
+    """Guard double that fires at the Nth poll — pins the preemption to an
+    exact loop position (e.g. inside the validation sweep, which
+    VMTL_PREEMPT_AT_STEP cannot reach: the train loop checks first)."""
+
+    def __init__(self, fire_at_poll):
+        self.polls = 0
+        self.fire_at = fire_at_poll
+
+    def requested(self, step):
+        self.polls += 1
+        return self.polls >= self.fire_at
+
+
+def test_preempt_during_validation_exact_resume(tmp_path):
+    """Preemption mid-VAL saves the full-epoch train state; resume re-runs
+    validation from the top and the final trajectory still matches an
+    uninterrupted run exactly."""
+    nc = fetch_data_cfg("synthetic").num_classes
+    model = _tiny_model(nc)
+    args = _args()
+
+    def fresh_state():
+        return create_train_state(
+            model, jax.random.key(0), jnp.zeros((8, 64, 64, 3)), lr=3e-3
+        )
+
+    def fresh_dm():
+        dm = MTLDataModule("synthetic", batch_size=8)
+        dm.setup()
+        return dm
+
+    dm = fresh_dm()
+    n_batches = len(dm.train_dataloader())
+    state_a, metrics_a = run_pipe(
+        args, model, fresh_state(), dm,
+        num_epochs=2, num_classes=nc, logger=_Logger(tmp_path / "a"),
+    )
+
+    # fire at the FIRST val-loop poll of epoch 0 (train polls 1..n_batches)
+    guard = _CountingGuard(n_batches + 1)
+    ckpt_dir = tmp_path / "b"
+    with pytest.raises(SystemExit):
+        run_pipe(
+            args, model, fresh_state(), fresh_dm(),
+            num_epochs=2, num_classes=nc, logger=_Logger(ckpt_dir),
+            preempt_guard=guard,
+        )
+
+    sched = ReduceLROnPlateau(patience=2, factor=0.9)
+    state, sched, epoch, batch_in_epoch, mstate, val_step = restore_preempt(
+        fresh_state(), sched, str(ckpt_dir), nc
+    )
+    # full-epoch train state: epoch 0 trained in full, val pending
+    assert (epoch, batch_in_epoch, val_step) == (0, n_batches, 0)
+    state_b, metrics_b = run_pipe(
+        args, model, state, fresh_dm(),
+        num_epochs=2, num_classes=nc, logger=_Logger(tmp_path / "b2"),
+        scheduler=sched, start_epoch=epoch, start_batch=batch_in_epoch,
+        initial_train_mstate=mstate, start_val_step=val_step,
+    )
+
+    for pa, pb in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    # the re-entered epoch's train metrics come from the restored
+    # accumulators (zero batches re-trained) and val re-runs from the top —
+    # BOTH epochs' metric streams must match the uninterrupted run
+    for stage in ("train", "val"):
+        for k in metrics_a[stage]:
+            np.testing.assert_allclose(
+                metrics_b[stage][k], metrics_a[stage][k],
+                rtol=0, atol=0, err_msg=f"{stage}/{k}",
+            )
+
+
 def test_resolve_resume_prefers_latest(tmp_path):
     """A stale preemption artifact must lose to later epoch checkpoints."""
     nc = fetch_data_cfg("synthetic").num_classes

@@ -159,6 +159,38 @@ def run_pipe(
     if scheduler is None:
         scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
 
+    def _preempt_exit(epoch, batch_in_epoch, mstate_, val_step_):
+        """Write the mid-epoch preemption checkpoint and exit 143.
+        ``batch_in_epoch``/``mstate_`` are the epoch's trained-batch count
+        and TRAIN accumulators (a val-time preemption saves the full-epoch
+        pair — resume re-enters the epoch with zero train batches left and
+        re-runs validation from the top, which only duplicates val work)."""
+        if logger is not None:
+            from vision_mtl_tpu.train.checkpoint import save_preempt_ckpt
+
+            save_preempt_ckpt(
+                state,
+                scheduler,
+                epoch,
+                batch_in_epoch,
+                mstate_,
+                val_step_,
+                save_dir=logger.log_dir,
+            )
+        else:
+            print(
+                "Preemption requested but run_pipe has no logger — no "
+                "checkpoint dir to write; exiting without saving."
+            )
+        from vision_mtl_tpu.train.checkpoint import wait_for_saves
+
+        wait_for_saves()
+        print(
+            f"Preempted at epoch {epoch + 1} step {global_step}; resume "
+            "with --resume_dir."
+        )
+        raise SystemExit(143)
+
     benchmark_batch = datamodule.benchmark_batch
     benchmark_gather = None
     if jax.process_count() > 1:
@@ -254,33 +286,7 @@ def run_pipe(
                 global_step
             ):
                 step_log.flush()
-                if logger is not None:
-                    from vision_mtl_tpu.train.checkpoint import (
-                        save_preempt_ckpt,
-                    )
-
-                    save_preempt_ckpt(
-                        state,
-                        scheduler,
-                        epoch,
-                        batch_in_epoch,
-                        mstate,
-                        val_step,
-                        save_dir=logger.log_dir,
-                    )
-                else:
-                    print(
-                        "Preemption requested but run_pipe has no logger — "
-                        "no checkpoint dir to write; exiting without saving."
-                    )
-                from vision_mtl_tpu.train.checkpoint import wait_for_saves
-
-                wait_for_saves()
-                print(
-                    f"Preempted at epoch {epoch + 1} step {global_step}; "
-                    "resume with --resume_dir."
-                )
-                raise SystemExit(143)
+                _preempt_exit(epoch, batch_in_epoch, mstate, val_step)
         step_log.flush()
 
         train_metrics = _metrics_float(mstate)
@@ -349,6 +355,9 @@ def run_pipe(
             # reference logs val steps to TB and comet (training_lit.py:
             # 143-145); exp is process-0-only, matching the sink ownership
             val_log = _LaggedLossLog("step/val", logger, exp)
+            # val-time preemption resumes val from the top: remember where
+            # this sweep's step numbering started
+            val_step0 = val_step
             for batch in prefetch_to_device(
                 datamodule.val_dataloader(), mesh, size=2
             ):
@@ -357,6 +366,13 @@ def run_pipe(
                     val_step, losses, val_step % log_every_n_steps == 0
                 )
                 val_step += 1
+                if preempt_guard is not None and preempt_guard.requested(
+                    global_step
+                ):
+                    # native-res val sweeps are long — don't sit out the
+                    # grace window waiting for the next train step
+                    val_log.flush()
+                    _preempt_exit(epoch, batch_in_epoch, mstate, val_step0)
             val_log.flush()
 
             # summed val loss drives the plateau scheduler (reference :168)

@@ -57,6 +57,7 @@ class PreemptionGuard:
             env = os.environ.get("VMTL_PREEMPT_AT_STEP")
             inject_at_step = int(env) if env else None
         self._inject_at = inject_at_step
+        self._polls = 0
         self._multiprocess = self._process_count() > 1
         if not self._multiprocess:
             # multi-process: jax's distributed runtime already owns SIGTERM
@@ -82,16 +83,20 @@ class PreemptionGuard:
     def requested(self, global_step: int) -> bool:
         """True once a preemption notice (signal, cross-host sync point, or
         injected fault) is pending. Process-uniform under multi-process:
-        every process sees True at the same ``global_step``."""
+        every process sees True at the same poll (all processes poll in
+        SPMD lockstep, so the internal monotonic poll ordinal — not
+        ``global_step``, which the val loop holds constant — keys the
+        cross-host sync point)."""
         if self._inject_at is not None and global_step >= self._inject_at:
             return True
         if self._multiprocess:
+            self._polls += 1
             try:
                 from jax.experimental import multihost_utils
 
                 return bool(
                     multihost_utils.reached_preemption_sync_point(
-                        int(global_step)
+                        self._polls
                     )
                 )
             except Exception:
