@@ -183,6 +183,46 @@ def main() -> None:
         scheduler=scheduler, start_epoch=start_epoch,
     )
 
+    # ---- run C: preemption under jax.distributed — the preempt save is a
+    # COLLECTIVE orbax write (every process calls it; orbax elects process
+    # 0), then an exact resume must reproduce run A's tail. The injected
+    # fault is process-uniform (same step on both), mirroring a real spot
+    # eviction delivered through jax's preemption sync point. ----
+    from vision_mtl_tpu.train.checkpoint import (
+        resolve_resume,
+        restore_preempt,
+    )
+    from vision_mtl_tpu.train.preempt import PreemptionGuard
+
+    guard = PreemptionGuard(inject_at_step=2)
+    pre_dir = os.path.join(tmpdir, "runC")
+    dm, model, state = fresh()
+    preempt_code = None
+    try:
+        run_pipe(
+            args, model, state, dm,
+            num_epochs=3, num_classes=data_cfg.num_classes, mesh=mesh,
+            logger=_Logger(pre_dir), preempt_guard=guard,
+        )
+    except SystemExit as e:
+        preempt_code = e.code
+    _dist.global_state.client.wait_at_barrier(
+        "preempt_saved", timeout_in_ms=600_000
+    )
+    resume_mode = resolve_resume(pre_dir)
+    dm, model, state = fresh()
+    sched = ReduceLROnPlateau(patience=2, factor=0.9)
+    state, sched, c_epoch, c_batch, c_mstate, c_vstep = restore_preempt(
+        state, sched, pre_dir, data_cfg.num_classes
+    )
+    _, metrics_c = run_pipe(
+        args, model, state, dm,
+        num_epochs=3, num_classes=data_cfg.num_classes, mesh=mesh,
+        logger=_Logger(os.path.join(tmpdir, "runC_resumed")),
+        scheduler=sched, start_epoch=c_epoch, start_batch=c_batch,
+        initial_train_mstate=c_mstate, start_val_step=c_vstep,
+    )
+
     # ---- predict sweep under jax.distributed: sharded step outputs are
     # all-gathered by predict()'s replicate identity so EVERY host fetches
     # the full predictions (and slices padding identically) ----
@@ -209,6 +249,11 @@ def main() -> None:
         "resumed_train_loss": metrics_b2["train"]["train/loss"],
         "resumed_val_loss": metrics_b2["val"]["val/loss"],
         "resumed_val_acc": metrics_b2["val"]["val/accuracy"],
+        "preempt_code": preempt_code,
+        "preempt_resume_mode": resume_mode,
+        "preempt_pos": [c_epoch, c_batch],
+        "c_train_loss": metrics_c["train"]["train/loss"],
+        "c_val_loss": metrics_c["val"]["val/loss"],
     }
     with open(out_path, "w") as f:
         json.dump(result, f)

@@ -131,6 +131,21 @@ def test_two_process_full_pipeline(tmp_path):
         r0["b1_train_loss"], r0["a_train_loss"][:2], rtol=1e-6
     )
 
+    # preemption under jax.distributed: both processes exited 143 from the
+    # COLLECTIVE preempt save at the same (uniform) step, the artifact won
+    # resolve_resume, and the resumed run reproduced run A's tail exactly
+    for r in (r0, r1):
+        assert r["preempt_code"] == 143
+        assert r["preempt_resume_mode"] == "preempt"
+        assert r["preempt_pos"] == [1, 1]  # epoch 1, its single batch done
+    np.testing.assert_allclose(
+        r0["c_train_loss"], r0["a_train_loss"][1:], rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        r0["c_val_loss"], r0["a_val_loss"][1:], rtol=0, atol=0
+    )
+    np.testing.assert_allclose(r0["c_train_loss"], r1["c_train_loss"], rtol=0)
+
 
 def test_two_process_spatial_mesh(tmp_path):
     """A data:1,spatial:2 mesh whose SPATIAL axis crosses the process
