@@ -31,6 +31,16 @@ from vision_mtl_tpu.train.preempt import PreemptionGuard
 from vision_mtl_tpu.train.state import create_train_state
 
 
+@pytest.fixture(autouse=True)
+def _restore_sigterm():
+    """Every PreemptionGuard installs a SIGTERM handler it never removes;
+    without restoration the rest of the suite would silently ignore SIGTERM
+    (timeout wrappers / kill-by-PID would need SIGKILL)."""
+    old = signal.getsignal(signal.SIGTERM)
+    yield
+    signal.signal(signal.SIGTERM, old)
+
+
 def _tiny_model(nc):
     return MTANMiniUnet(
         map_tasks_to_num_channels={"depth": 1, "segm": nc},
@@ -83,17 +93,14 @@ def test_guard_injection_and_signal():
     assert not g.requested(4)
     assert g.requested(5) and g.requested(6)
 
-    old = signal.getsignal(signal.SIGTERM)
-    try:
-        g2 = PreemptionGuard()
-        assert not g2.requested(0)
-        os.kill(os.getpid(), signal.SIGTERM)
-        deadline = time.time() + 5.0
-        while not g2.requested(0) and time.time() < deadline:
-            time.sleep(0.01)
-        assert g2.requested(0)
-    finally:
-        signal.signal(signal.SIGTERM, old)
+    # (the autouse fixture restores the pre-test SIGTERM disposition)
+    g2 = PreemptionGuard()
+    assert not g2.requested(0)
+    os.kill(os.getpid(), signal.SIGTERM)
+    deadline = time.time() + 5.0
+    while not g2.requested(0) and time.time() < deadline:
+        time.sleep(0.01)
+    assert g2.requested(0)
 
 
 def test_preempt_mid_epoch_exact_resume(tmp_path):
@@ -240,6 +247,94 @@ def test_preempt_during_validation_exact_resume(tmp_path):
                 metrics_b[stage][k], metrics_a[stage][k],
                 rtol=0, atol=0, err_msg=f"{stage}/{k}",
             )
+
+
+def test_preempt_at_epoch_end_tail_exact_resume(tmp_path):
+    """A notice landing in the epoch-end tail (after the scheduler stepped)
+    is honored via a REGULAR end-of-epoch checkpoint — resume starts at
+    epoch+1 and still matches the uninterrupted run exactly."""
+    from vision_mtl_tpu.train.checkpoint import restore_session
+
+    nc = fetch_data_cfg("synthetic").num_classes
+    model = _tiny_model(nc)
+    args = _args()
+
+    def fresh_state():
+        return create_train_state(
+            model, jax.random.key(0), jnp.zeros((8, 64, 64, 3)), lr=3e-3
+        )
+
+    def fresh_dm():
+        dm = MTLDataModule("synthetic", batch_size=8)
+        dm.setup()
+        return dm
+
+    dm = fresh_dm()
+    n_train = len(dm.train_dataloader())
+    n_val = len(dm.val_dataloader())
+    state_a, metrics_a = run_pipe(
+        args, model, fresh_state(), dm,
+        num_epochs=2, num_classes=nc, logger=_Logger(tmp_path / "a"),
+    )
+
+    # polls in epoch 0: n_train (train loop) + n_val (val loop) + 1 (tail)
+    guard = _CountingGuard(n_train + n_val + 1)
+    ckpt_dir = tmp_path / "b"
+    with pytest.raises(SystemExit):
+        run_pipe(
+            args, model, fresh_state(), fresh_dm(),
+            num_epochs=2, num_classes=nc, logger=_Logger(ckpt_dir),
+            preempt_guard=guard,
+        )
+    # the epoch completed: a normal session checkpoint, no preempt artifact
+    assert resolve_resume(str(ckpt_dir)) == "epoch"
+
+    sched = ReduceLROnPlateau(patience=2, factor=0.9)
+    state, sched, start_epoch = restore_session(
+        fresh_state(), sched, str(ckpt_dir)
+    )
+    assert start_epoch == 1
+    state_b, metrics_b = run_pipe(
+        args, model, state, fresh_dm(),
+        num_epochs=2, num_classes=nc, logger=_Logger(tmp_path / "b2"),
+        scheduler=sched, start_epoch=start_epoch,
+    )
+
+    for pa, pb in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for stage in ("train", "val"):
+        for k in metrics_a[stage]:
+            np.testing.assert_allclose(
+                metrics_b[stage][k][-1], metrics_a[stage][k][-1],
+                rtol=0, atol=0, err_msg=f"{stage}/{k}",
+            )
+
+
+def test_auto_resume_finds_nested_run_dirs(tmp_path):
+    """--auto_resume must find run dirs nested under a run-name level (with
+    comet enabled, create_tools names the subdir after the experiment —
+    a relaunch cannot reconstruct it)."""
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.train.checkpoint import (
+        find_latest_resumable_run,
+        save_preempt_ckpt,
+    )
+
+    nc = fetch_data_cfg("synthetic").num_classes
+    model = _tiny_model(nc)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=1e-3
+    )
+    base = tmp_path / "training-basic"
+    nested = base / "brave_comet_1234" / "version_0"
+    os.makedirs(nested)
+    assert find_latest_resumable_run(str(base)) is None
+    save_preempt_ckpt(
+        state, ReduceLROnPlateau(), 0, 1, init_metrics(nc), 0, str(nested)
+    )
+    assert find_latest_resumable_run(str(base)) == str(nested)
 
 
 def test_resolve_resume_prefers_latest(tmp_path):

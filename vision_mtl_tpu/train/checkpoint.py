@@ -42,6 +42,40 @@ def wait_for_saves() -> None:
         _shared_checkpointer.wait_until_finished()
 
 
+def _model_tree(state: TrainState) -> t.Dict[str, t.Any]:
+    return {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+
+
+def _session_tree(
+    state: TrainState, scheduler: ReduceLROnPlateau, epoch: int
+) -> t.Dict[str, t.Any]:
+    return {
+        "opt_state": jax.device_get(state.opt_state),
+        "lr": np.float32(get_lr(state)),
+        "scheduler": scheduler.state_dict(),
+        "epoch": epoch,
+        "step": int(state.step),
+    }
+
+
+def _cast_into(target: t.Any, restored: t.Any, what: str) -> t.Any:
+    """Map restored leaves onto ``target``'s dtypes, shape-checked."""
+
+    def cast(tgt, src):
+        src = np.asarray(src)
+        if tgt.shape != src.shape:
+            raise ValueError(
+                f"{what} shape mismatch: {src.shape} vs {tgt.shape} — "
+                f"wrong model config or dataset for this checkpoint?"
+            )
+        return src.astype(tgt.dtype)
+
+    return jax.tree.map(cast, target, restored)
+
+
 def save_ckpt(
     state: TrainState,
     scheduler: ReduceLROnPlateau,
@@ -60,17 +94,8 @@ def save_ckpt(
     model_path = os.path.abspath(os.path.join(save_dir, f"model_{epoch}"))
     session_path = os.path.abspath(os.path.join(save_dir, f"session_{epoch}"))
     ckptr = _checkpointer()
-    model_tree = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-    }
-    session_tree = {
-        "opt_state": jax.device_get(state.opt_state),
-        "lr": np.float32(get_lr(state)),
-        "scheduler": scheduler.state_dict(),
-        "epoch": epoch,
-        "step": int(state.step),
-    }
+    model_tree = _model_tree(state)
+    session_tree = _session_tree(state, scheduler, epoch)
     ckptr.save(model_path, model_tree, force=True)
     ckptr.save(session_path, session_tree, force=True)
     if block or exp:
@@ -159,22 +184,13 @@ def restore_state(
     """Warm-start params/batch_stats into an existing state
     (reference init_model --ckpt_dir path, pipeline_utils.py:28-29)."""
     restored = load_ckpt_model(ckpt_dir, epoch)
-
-    def cast(tgt, src):
-        src = np.asarray(src)
-        if tgt.shape != src.shape:
-            raise ValueError(
-                f"checkpoint/model shape mismatch: {src.shape} vs "
-                f"{tgt.shape} — wrong model config or dataset for this "
-                f"checkpoint?"
-            )
-        return src.astype(tgt.dtype)
-
-    params = jax.tree.map(
-        cast, jax.device_get(state.params), restored["params"]
+    params = _cast_into(
+        jax.device_get(state.params), restored["params"], "checkpoint/model"
     )
-    batch_stats = jax.tree.map(
-        cast, jax.device_get(state.batch_stats), restored["batch_stats"]
+    batch_stats = _cast_into(
+        jax.device_get(state.batch_stats),
+        restored["batch_stats"],
+        "checkpoint/model",
     )
     return state.replace(params=params, batch_stats=batch_stats)
 
@@ -245,28 +261,14 @@ def save_preempt_ckpt(
     # but wait for in-flight async epoch saves first so the directory state
     # is quiescent
     ckptr.wait_until_finished()
-    ckptr.save(
-        model_path,
-        {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-        },
-        force=True,
+    ckptr.save(model_path, _model_tree(state), force=True)
+    session_tree = _session_tree(state, scheduler, epoch)
+    session_tree.update(
+        batch_in_epoch=batch_in_epoch,
+        val_step=int(val_step),
+        train_metrics=to_state_dict(jax.device_get(train_mstate)),
     )
-    ckptr.save(
-        session_path,
-        {
-            "opt_state": jax.device_get(state.opt_state),
-            "lr": np.float32(get_lr(state)),
-            "scheduler": scheduler.state_dict(),
-            "epoch": epoch,
-            "batch_in_epoch": batch_in_epoch,
-            "step": int(state.step),
-            "val_step": int(val_step),
-            "train_metrics": to_state_dict(jax.device_get(train_mstate)),
-        },
-        force=True,
-    )
+    ckptr.save(session_path, session_tree, force=True)
     ckptr.wait_until_finished()
     # position sidecar: lets resolve_resume compare recency without a full
     # Orbax restore (orbax has no partial scalar reads without the tree)
@@ -346,21 +348,14 @@ def restore_preempt(
         os.path.abspath(os.path.join(ckpt_dir, PREEMPT_SESSION)), target
     )
 
-    def cast(tgt, src):
-        src = np.asarray(src)
-        if tgt.shape != src.shape:
-            raise ValueError(
-                f"preempt checkpoint/model shape mismatch: {src.shape} vs "
-                f"{tgt.shape} — wrong model config for this checkpoint?"
-            )
-        return src.astype(tgt.dtype)
-
     state = state.replace(
-        params=jax.tree.map(
-            cast, jax.device_get(state.params), model["params"]
+        params=_cast_into(
+            jax.device_get(state.params), model["params"], "preempt/model"
         ),
-        batch_stats=jax.tree.map(
-            cast, jax.device_get(state.batch_stats), model["batch_stats"]
+        batch_stats=_cast_into(
+            jax.device_get(state.batch_stats),
+            model["batch_stats"],
+            "preempt/model",
         ),
         opt_state=session["opt_state"],
         step=int(session["step"]),
@@ -378,30 +373,50 @@ def restore_preempt(
     )
 
 
+def _is_resumable(d: str) -> bool:
+    if _has_preempt_ckpt(d):
+        return True
+    try:
+        _latest_common_epoch(d)
+        return True
+    except (ValueError, OSError):
+        return False
+
+
 def find_latest_resumable_run(base_dir: str) -> t.Optional[str]:
-    """Newest ``version_*`` run dir under ``base_dir`` holding a resumable
+    """Most recently written run dir under ``base_dir`` holding a resumable
     checkpoint (a preemption artifact or a complete model/session epoch
     pair); None when there is nothing to resume. Backs ``--auto_resume``:
     spot-VM relaunch loops re-run the SAME command line, so the CLI must
-    find the interrupted run itself (training.py)."""
+    find the interrupted run itself (training.py).
+
+    Scans ``base_dir/version_*`` AND one level deeper
+    (``base_dir/{run_name}/version_*``) — with comet tracking enabled,
+    create_tools nests run dirs under the per-run experiment name, which a
+    relaunch cannot reconstruct. Recency is directory mtime (checkpoint
+    writes update it), identical on every process of a shared-filesystem
+    pod."""
     if not os.path.isdir(base_dir):
         return None
     pattern = re.compile(r"version_(\d+)$")
-    versions = sorted(
-        (int(m.group(1)), f)
-        for f in os.listdir(base_dir)
-        if (m := pattern.match(f))
-    )
-    for _, name in reversed(versions):
+    candidates: t.List[str] = []
+    for name in os.listdir(base_dir):
         d = os.path.join(base_dir, name)
-        if _has_preempt_ckpt(d):
-            return d
-        try:
-            _latest_common_epoch(d)
-            return d
-        except ValueError:
+        if not os.path.isdir(d):
             continue
-    return None
+        if pattern.match(name):
+            candidates.append(d)
+        else:  # run-name level (e.g. a comet experiment name)
+            candidates.extend(
+                os.path.join(d, sub)
+                for sub in os.listdir(d)
+                if pattern.match(sub)
+                and os.path.isdir(os.path.join(d, sub))
+            )
+    resumable = [d for d in candidates if _is_resumable(d)]
+    if not resumable:
+        return None
+    return max(resumable, key=os.path.getmtime)
 
 
 def log_args(

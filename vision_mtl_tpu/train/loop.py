@@ -416,17 +416,42 @@ def run_pipe(
         # is a collective under jax.distributed — a lone-writer would
         # deadlock the barrier); orbax itself elects process 0 to write
         # the single coherent artifact for replicated (dp/sp) state
-        if (epoch + 1) % args.save_epoch_freq == 0 or epoch == num_epochs - 1:
-            if logger is not None:
-                # async: the write overlaps the next epoch; finalized below
+        epoch_saved = (
+            epoch + 1
+        ) % args.save_epoch_freq == 0 or epoch == num_epochs - 1
+        if epoch_saved and logger is not None:
+            # async: the write overlaps the next epoch; finalized below
+            save_ckpt(
+                state,
+                scheduler,
+                epoch,
+                save_dir=logger.log_dir,
+                exp=exp,
+                block=False,
+            )
+
+        # epoch-end tail poll: a notice during the epoch-metric host syncs,
+        # benchmark plotting, or callback would otherwise only be honored
+        # after the NEXT epoch's first train step. The epoch (incl. its
+        # scheduler step) is COMPLETE here, so the exact resume point is a
+        # regular end-of-epoch checkpoint (resume at epoch+1), not a
+        # mid-epoch artifact (which would re-run val and re-step the
+        # scheduler).
+        if preempt_guard is not None and preempt_guard.requested(
+            global_step
+        ):
+            if logger is not None and not epoch_saved:
                 save_ckpt(
-                    state,
-                    scheduler,
-                    epoch,
-                    save_dir=logger.log_dir,
-                    exp=exp,
-                    block=False,
+                    state, scheduler, epoch, save_dir=logger.log_dir, exp=exp
                 )
+            from vision_mtl_tpu.train.checkpoint import wait_for_saves
+
+            wait_for_saves()
+            print(
+                f"Preempted after epoch {epoch + 1}; resume with "
+                "--resume_dir."
+            )
+            raise SystemExit(143)
 
     from vision_mtl_tpu.train.checkpoint import wait_for_saves
 

@@ -58,6 +58,7 @@ class PreemptionGuard:
             inject_at_step = int(env) if env else None
         self._inject_at = inject_at_step
         self._polls = 0
+        self._warned_sync = False
         self._multiprocess = self._process_count() > 1
         if not self._multiprocess:
             # multi-process: jax's distributed runtime already owns SIGTERM
@@ -99,6 +100,17 @@ class PreemptionGuard:
                         self._polls
                     )
                 )
-            except Exception:
+            except Exception as e:
+                # returning False forever would silently disable the ONE
+                # mechanism --preempt_save exists for (jax's notifier also
+                # swallows the raw SIGTERM here) — say so, once
+                if not self._warned_sync:
+                    self._warned_sync = True
+                    print(
+                        "WARNING: preemption sync point unavailable under "
+                        f"jax.distributed ({type(e).__name__}: {e}) — "
+                        "--preempt_save will NOT react to eviction notices "
+                        "on this run."
+                    )
                 return False
         return self._flag
