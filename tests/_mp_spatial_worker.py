@@ -160,6 +160,17 @@ def main() -> None:
         )(jnp.asarray(full))
     )
 
+    # ---- to_host under a PROCESS-SPANNING sharding (the multi-process
+    # tensor-parallel checkpoint path): gimg's spatial shards live on
+    # different hosts, so plain device_get cannot fetch it — to_host
+    # allgathers (a collective: both processes call) and EVERY host gets
+    # the full value ----
+    from vision_mtl_tpu.train.checkpoint import to_host
+
+    assert not gimg.is_fully_addressable
+    hosted = to_host({"img": gimg})["img"]
+    to_host_exact = bool(np.array_equal(np.asarray(hosted), full))
+
     # ---- MetricsLogger: ONE shared run dir across processes (KV-store
     # rendezvous), sinks opened by process 0 only — the property the
     # collective Orbax checkpoint path depends on ----
@@ -191,6 +202,7 @@ def main() -> None:
         "conv_max_abs_err": float(np.abs(got_conv - want_conv).max()),
         "log_dirs": log_dirs,
         "agree": agree,
+        "to_host_exact": to_host_exact,
     }
     with open(out_path, "w") as f:
         json.dump(result, f)

@@ -190,6 +190,10 @@ def test_two_process_spatial_mesh(tmp_path):
     assert results[0]["agree"] == [True, False]
     assert results[1]["agree"] == [True, False]
 
+    # to_host fetched a process-spanning (non-addressable) array exactly on
+    # BOTH hosts — the multi-process TP checkpoint path
+    assert results[0]["to_host_exact"] and results[1]["to_host_exact"]
+
     # MetricsLogger agreed on ONE run dir per construction across processes
     # (checkpoint-path coherence), and only process 0 wrote the sink
     assert results[0]["log_dirs"] == results[1]["log_dirs"]

@@ -42,10 +42,28 @@ def wait_for_saves() -> None:
         _shared_checkpointer.wait_until_finished()
 
 
+def to_host(tree: t.Any) -> t.Any:
+    """``jax.device_get`` that also handles PROCESS-SPANNING shardings
+    (multi-process tensor parallelism): an array whose shards live on
+    other hosts is not addressable from this one, so it is allgathered
+    (tiled — a collective, every process must call) before the host fetch.
+    Replicated/dp state (every mp test and the common CLI configs) takes
+    the plain device_get path unchanged."""
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree.map(get, tree)
+
+
 def _model_tree(state: TrainState) -> t.Dict[str, t.Any]:
     return {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
+        "params": to_host(state.params),
+        "batch_stats": to_host(state.batch_stats),
     }
 
 
@@ -53,7 +71,7 @@ def _session_tree(
     state: TrainState, scheduler: ReduceLROnPlateau, epoch: int
 ) -> t.Dict[str, t.Any]:
     return {
-        "opt_state": jax.device_get(state.opt_state),
+        "opt_state": to_host(state.opt_state),
         "lr": np.float32(get_lr(state)),
         "scheduler": scheduler.state_dict(),
         "epoch": epoch,
@@ -266,7 +284,7 @@ def save_preempt_ckpt(
     session_tree.update(
         batch_in_epoch=batch_in_epoch,
         val_step=int(val_step),
-        train_metrics=to_state_dict(jax.device_get(train_mstate)),
+        train_metrics=to_state_dict(to_host(train_mstate)),
     )
     ckptr.save(session_path, session_tree, force=True)
     ckptr.wait_until_finished()
