@@ -96,7 +96,9 @@ def test_two_process_full_pipeline(tmp_path):
                 stderr=subprocess.STDOUT,
             )
         )
-    logs = _communicate_all(procs, 560)
+    # the preemption leg (run C) grew this worker to ~8 min standalone on
+    # the 1-core host; in-suite overhead needs real headroom
+    logs = _communicate_all(procs, 1100)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-4000:]
 
