@@ -103,10 +103,14 @@ def test_guard_injection_and_signal():
     assert g2.requested(0)
 
 
-def test_preempt_mid_epoch_exact_resume(tmp_path):
+@pytest.mark.parametrize("grad_accum", [1, 2])
+def test_preempt_mid_epoch_exact_resume(tmp_path, grad_accum):
     nc = fetch_data_cfg("synthetic").num_classes
     model = _tiny_model(nc)
     args = _args()
+    # accum interplay: a "step" is one OPTIMIZER step over the full batch
+    # (microbatched in-step), so the resume position stays batch-granular
+    args.grad_accum_steps = grad_accum
 
     def fresh_state():
         return create_train_state(
