@@ -171,3 +171,51 @@ def test_do_overfit_stage_test_only():
     dm.setup("test")
     batch = next(iter(dm.test_dataloader()))
     assert batch["img"].shape[0] == 2
+
+
+def test_loader_invariants_property_sweep():
+    """Property sweep over loader configurations: batch count/shapes, the
+    pad 'valid' mask, seeded-shuffle determinism, and skip_batches ==
+    suffix of the full iteration — for every (bs, shuffle, mode, skip)
+    combination."""
+    import itertools
+
+    import numpy as np
+
+    from vision_mtl_tpu.data.loader import DataLoader
+    from vision_mtl_tpu.data.synthetic import SyntheticMTLDataset
+
+    ds = SyntheticMTLDataset(stage="train")
+    n = len(ds)
+    for bs, shuffle, mode in itertools.product(
+        (1, 7, 8), (False, True), ("drop", "pad", "plain")
+    ):
+        kw = dict(
+            batch_size=bs,
+            shuffle=shuffle,
+            seed=5,
+            drop_last=mode == "drop",
+            pad_last=mode == "pad",
+        )
+        full = list(DataLoader(ds, **kw))
+        if mode == "drop":
+            assert len(full) == n // bs
+            assert all(b["img"].shape[0] == bs for b in full)
+        else:
+            assert len(full) == (n + bs - 1) // bs
+        if mode == "pad":
+            assert all(b["img"].shape[0] == bs for b in full)
+            tail = full[-1]["valid"]
+            assert tail.sum() == (n % bs or bs)
+        # deterministic: a same-seed loader reproduces the epoch exactly
+        again = list(DataLoader(ds, **kw))
+        for a, b in zip(full, again):
+            np.testing.assert_array_equal(a["img"], b["img"])
+        # skip == suffix, for every legal skip depth
+        for skip in (1, len(full) - 1, len(full)):
+            lo = DataLoader(ds, **kw)
+            lo.skip_batches = skip
+            tail_batches = list(lo)
+            assert len(tail_batches) == len(full) - skip
+            for got, want in zip(tail_batches, full[skip:]):
+                np.testing.assert_array_equal(got["img"], want["img"])

@@ -26,6 +26,12 @@ local flag under multi-process and consults
 coordination-service channel jax's notifier feeds — which returns True on
 EVERY process at the same step once any host was notified.
 
+Scope: the guard protects ``run_pipe`` — the main training run, resumed
+runs, and the post-sweep best-trial retrain. Hyperparameter-sweep TRIALS
+(tuning.py) are not preemption-guarded: a mid-trial eviction restarts the
+sweep on relaunch (trials are 3 epochs; cross-relaunch optuna storage is
+out of scope, as in the reference).
+
 Fault injection
 ---------------
 ``VMTL_PREEMPT_AT_STEP=<k>`` (or ``inject_at_step=k``) deterministically
