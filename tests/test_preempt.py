@@ -445,3 +445,41 @@ def test_find_latest_resumable_run(tmp_path):
         str(base / "version_2"),
     )
     assert find_latest_resumable_run(str(base)) == str(base / "version_2")
+
+
+def test_prune_old_ckpts(tmp_path):
+    """Retention keeps the newest K pairs, never touches preemption
+    artifacts, and the run dir stays exact-resumable."""
+    from vision_mtl_tpu.metrics import init_metrics
+    from vision_mtl_tpu.train.checkpoint import (
+        prune_old_ckpts,
+        restore_session,
+        save_preempt_ckpt,
+    )
+
+    nc = fetch_data_cfg("synthetic").num_classes
+    model = _tiny_model(nc)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((4, 64, 64, 3)), lr=1e-3
+    )
+    sched = ReduceLROnPlateau()
+    for e in range(4):
+        save_ckpt(state, sched, e, str(tmp_path))
+    save_preempt_ckpt(state, sched, 4, 1, init_metrics(nc), 0, str(tmp_path))
+
+    assert prune_old_ckpts(str(tmp_path), 0) == []  # keep-all default
+    assert prune_old_ckpts(str(tmp_path), 2) == [0, 1]
+    names = set(os.listdir(tmp_path))
+    assert {"model_2", "session_2", "model_3", "session_3"} <= names
+    assert not ({"model_0", "session_0", "model_1", "session_1"} & names)
+    assert {"preempt_model", "preempt_session"} <= names
+    # pruning again is a no-op, and the dir still exact-resumes (epoch 3)
+    assert prune_old_ckpts(str(tmp_path), 2) == []
+    _, _, start_epoch = restore_session(
+        create_train_state(
+            model, jax.random.key(1), jnp.zeros((4, 64, 64, 3)), lr=1e-3
+        ),
+        ReduceLROnPlateau(),
+        str(tmp_path),
+    )
+    assert start_epoch == 4

@@ -90,6 +90,29 @@ def maybe_initialize_distributed() -> None:
         ) from e
 
 
+def shutdown_distributed() -> None:
+    """Coordinated disconnect at the end of a multi-process run. Leaving it
+    to interpreter teardown races: the leader (process 0) hosts the
+    coordination service, and if its teardown wins the race a
+    still-connected peer polls a fatal 'leader died' error and aborts —
+    an exit-code-failure ending to a SUCCESSFUL run (observed with
+    scripts/launch_local_pod.sh). No-op when jax.distributed never
+    initialized."""
+    try:
+        from jax._src import distributed
+
+        if distributed.global_state.client is None:
+            return
+        # aligns all processes before any of them tears down: every process
+        # must reach end-of-run for this to pass, which is exactly the SPMD
+        # contract of the pipeline
+        client = distributed.global_state.client
+        client.wait_at_barrier("vmtl_shutdown", timeout_in_ms=600_000)
+        jax.distributed.shutdown()
+    except Exception as e:  # pragma: no cover - teardown best-effort
+        print(f"jax.distributed shutdown: {type(e).__name__}: {e}")
+
+
 def process_info() -> t.Tuple[int, int]:
     """(process_index, process_count); (0, 1) when jax is unavailable.
     Shared by the loader, logger, and pipeline — one fallback semantic.

@@ -401,6 +401,38 @@ def _is_resumable(d: str) -> bool:
         return False
 
 
+def prune_old_ckpts(save_dir: str, keep_last_k: int) -> t.List[int]:
+    """Delete all but the newest ``keep_last_k`` epoch checkpoint PAIRS
+    (both ``model_{e}`` and ``session_{e}`` go together — never leave a
+    mismatched pair for `_latest_common_epoch` to trip on). Returns the
+    pruned epochs. Disk housekeeping for long runs (reference keeps every
+    epoch; ``keep_last_k <= 0`` preserves that behavior). Preemption
+    artifacts are never touched. Multi-process: only process 0 deletes
+    (orbax wrote through process 0 on the shared filesystem); the call is
+    NOT collective. An in-flight async save is always the newest epoch and
+    therefore always kept."""
+    if keep_last_k <= 0:
+        return []
+    from vision_mtl_tpu.parallel.multihost import process_info_no_backend
+
+    if process_info_no_backend()[0] != 0:
+        return []
+    # never rmtree a directory orbax is still writing: with short epochs
+    # two async saves can be in flight at once
+    wait_for_saves()
+    import shutil
+
+    epochs = sorted(
+        set(_epochs(save_dir, "model")) | set(_epochs(save_dir, "session"))
+    )
+    pruned = epochs[:-keep_last_k] if len(epochs) > keep_last_k else []
+    for e in pruned:
+        for prefix in ("model", "session"):
+            path = os.path.join(save_dir, f"{prefix}_{e}")
+            shutil.rmtree(path, ignore_errors=True)
+    return pruned
+
+
 def find_latest_resumable_run(base_dir: str) -> t.Optional[str]:
     """Most recently written run dir under ``base_dir`` holding a resumable
     checkpoint (a preemption artifact or a complete model/session epoch

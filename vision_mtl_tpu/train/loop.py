@@ -91,6 +91,41 @@ def _log_param_histograms(logger: t.Any, state: TrainState, step: int) -> None:
             return
 
 
+def _align_cpu_multiprocess(
+    datamodule, train_step, eval_step, state, num_classes, mesh
+) -> None:
+    """CPU multi-process survival kit (tests/_mp_pipeline_worker.py taught
+    it): AOT-compile the big collective programs on every process first
+    (populates the persistent compile cache — no collective runs), align
+    at a coordination-service barrier (gRPC, long timeout), then execute
+    ONE tiny warmup collective while the processes are tightly in step —
+    so every first execution in the real loop is a near-simultaneous
+    cache hit inside gloo's 30s rendezvous window."""
+    train_loader = datamodule.train_dataloader()
+    # peek one batch WITHOUT advancing the loader's epoch/skip state
+    saved_epoch, saved_skip = train_loader.epoch, train_loader.skip_batches
+    train_loader.skip_batches = 0
+    train_batch = next(iter(train_loader))
+    train_loader.epoch, train_loader.skip_batches = saved_epoch, saved_skip
+    val_batch = next(iter(datamodule.val_dataloader()))
+
+    full = getattr(train_loader, "shard_rows", True) is False
+    mstate0 = init_metrics(num_classes)
+    tb = put_batch(train_batch, mesh, full_local=full)
+    vb = put_batch(val_batch, mesh, full_local=full)
+    train_step.lower(state, tb, mstate0).compile()
+    eval_step.lower(state, vb, mstate0).compile()
+
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        "vmtl_cpu_align", timeout_in_ms=600_000
+    )
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("vmtl_gloo_warmup")
+
+
 def run_pipe(
     args: argparse.Namespace,
     model: t.Any,
@@ -158,6 +193,19 @@ def run_pipe(
 
     if scheduler is None:
         scheduler = ReduceLROnPlateau(patience=2, factor=0.9)
+
+    if jax.process_count() > 1 and jax.default_backend() == "cpu":
+        # XLA:CPU's gloo collectives have a HARD 30s first-rendezvous
+        # timeout per executable, and multi-minute compile/AOT-load skew
+        # between processes (one busy core, 13M-param programs) blows it:
+        # the raw CLI pod launch died here while the worker-based tests —
+        # which AOT-precompile, barrier, then warm up gloo — pass. Encode
+        # that survival kit in the product so the launch contract
+        # (scripts/launch_local_pod.sh) holds on CPU hosts too. TPU pods
+        # skip this: ICI collectives have no such rendezvous cliff.
+        _align_cpu_multiprocess(
+            datamodule, train_step, eval_step, state, num_classes, mesh
+        )
 
     def _preempt_exit(epoch, batch_in_epoch, mstate_, val_step_):
         """Write the mid-epoch preemption checkpoint and exit 143.
@@ -429,6 +477,13 @@ def run_pipe(
                 exp=exp,
                 block=False,
             )
+            keep_k = getattr(args, "keep_ckpt_last_k", 0)
+            if keep_k > 0:
+                # disk housekeeping (opt-in; waits out the async save, so
+                # it trades the save/compute overlap for bounded disk)
+                from vision_mtl_tpu.train.checkpoint import prune_old_ckpts
+
+                prune_old_ckpts(logger.log_dir, keep_k)
 
         # epoch-end tail poll: a notice during the epoch-metric host syncs,
         # benchmark plotting, or callback would otherwise only be honored

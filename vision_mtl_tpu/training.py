@@ -220,6 +220,13 @@ def main(argv=None) -> None:
         exp.end()
     logger.close()
 
+    # multi-process: leave the coordination service together — letting
+    # interpreter teardown race it can fatal a still-connected peer after
+    # a fully successful run (parallel/multihost.py)
+    from vision_mtl_tpu.parallel.multihost import shutdown_distributed
+
+    shutdown_distributed()
+
 
 if __name__ == "__main__":
     main()

@@ -140,6 +140,13 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         "half of its activation memory — high-resolution opt-in).",
     )
     tpu_args.add_argument(
+        "--keep_ckpt_last_k",
+        type=int,
+        default=0,
+        help="Keep only the newest K epoch checkpoint pairs (0 = keep all, "
+        "the reference behavior). Preemption artifacts are never pruned.",
+    )
+    tpu_args.add_argument(
         "--preempt_save",
         action="store_true",
         help="Preemption-safe training: on SIGTERM (spot/preemptible TPU "
