@@ -49,6 +49,9 @@ bool parse_npy_header(FILE* f, NpyInfo* info) {
     header_len = b[0] | (b[1] << 8) | (b[2] << 16) | ((uint32_t)b[3] << 24);
     info->data_offset = 12 + header_len;
   }
+  // real npy headers are < 64 KiB (padded dict literal); a forged v2
+  // header_len near 4 GiB would otherwise drive a giant allocation below
+  if (header_len > (1u << 20)) return false;
   std::string header(header_len, '\0');
   if (fread(&header[0], 1, header_len, f) != header_len) return false;
 
@@ -56,7 +59,9 @@ bool parse_npy_header(FILE* f, NpyInfo* info) {
   size_t dp = header.find("'descr'");
   if (dp == std::string::npos) return false;
   size_t q1 = header.find('\'', dp + 7);
+  if (q1 == std::string::npos) return false;
   size_t q2 = header.find('\'', q1 + 1);
+  if (q2 == std::string::npos) return false;
   std::string descr = header.substr(q1 + 1, q2 - q1 - 1);
   // descr like '<f4', '<i8', '|u1'
   if (descr.size() < 3) return false;
@@ -75,14 +80,24 @@ bool parse_npy_header(FILE* f, NpyInfo* info) {
   size_t sp = header.find("'shape'");
   if (sp == std::string::npos) return false;
   size_t p1 = header.find('(', sp);
+  if (p1 == std::string::npos) return false;
   size_t p2 = header.find(')', p1);
+  if (p2 == std::string::npos) return false;
   std::string shape_s = header.substr(p1 + 1, p2 - p1 - 1);
   info->shape.clear();
   const char* s = shape_s.c_str();
   while (*s) {
     while (*s == ' ' || *s == ',') s++;
     if (!*s) break;
-    info->shape.push_back(strtoll(s, const_cast<char**>(&s), 10));
+    char* end = nullptr;
+    int64_t d = strtoll(s, &end, 10);
+    // a non-numeric char leaves end==s; without this check the loop never
+    // advances and pushes 0 into `shape` forever (found by the header fuzz:
+    // tens of GB of vector growth on "'shape': }")
+    if (end == s) return false;
+    s = end;
+    if (info->shape.size() >= 32) return false;  // npy caps ndim at 32
+    info->shape.push_back(d);
   }
   return true;
 }
@@ -109,7 +124,12 @@ bool open_npy(const char* path, OpenNpy* o) {
     if (d <= 0 || n > kMaxBytes / d) return false;
     n *= d;
   }
-  if (o->info.itemsize <= 0 || n > kMaxBytes / o->info.itemsize) return false;
+  if (o->info.itemsize <= 0 || o->info.itemsize > 8) return false;
+  // cap the DECODED size, not just the file payload: a 2 GiB int8 file
+  // would otherwise expand to an 8 GiB float32 buffer (bad_alloc -> abort).
+  // Also keeps n <= 2^29, so every downstream int index fits 32 bits.
+  const int64_t worst = o->info.itemsize < 4 ? 4 : o->info.itemsize;
+  if (n > kMaxBytes / worst) return false;
   if (fseek(o->f, (long)o->info.data_offset, SEEK_SET) != 0) return false;
   o->n = n;
   return true;
@@ -223,7 +243,7 @@ extern "C" {
 
 // Decode one npy into float32; returns ndim or -1. shape_out cap 8.
 int fastload_read_npy(const char* path, float* out, int64_t out_cap,
-                      int64_t* shape_out) {
+                      int64_t* shape_out) try {
   std::vector<float> data;
   std::vector<int64_t> shape;
   if (!read_npy_f32(path, &data, &shape)) return -1;
@@ -231,6 +251,10 @@ int fastload_read_npy(const char* path, float* out, int64_t out_cap,
   memcpy(out, data.data(), data.size() * sizeof(float));
   for (size_t i = 0; i < shape.size() && i < 8; i++) shape_out[i] = shape[i];
   return (int)shape.size();
+} catch (...) {
+  // exceptions (e.g. bad_alloc on a hostile header that slipped the caps)
+  // must not cross the C ABI into ctypes — that aborts the training process
+  return -1;
 }
 
 // Load a batch of cityscapes-style triples, resized + normalized:
@@ -258,6 +282,7 @@ int fastload_load_batch(const char** img_paths, const char** mask_paths,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= batch || failed.load()) return;
+      try {
       float* iout = imgs + (size_t)i * oh * ow * 3;
       int32_t* mout = masks + (size_t)i * oh * ow;
       float* dout = depths + (size_t)i * oh * ow;
@@ -365,6 +390,12 @@ int fastload_load_batch(const char** img_paths, const char** mask_paths,
           resize_nearest(depth.data(), dh, dw, rdepth.data(), oh, ow);
           for (int p = 0; p < oh * ow; p++) dout[p] = rdepth[p] * inv;
         }
+      }
+      } catch (...) {
+        // an exception escaping a std::thread calls std::terminate — convert
+        // to the per-sample failure contract instead
+        failed.store(i + 1);
+        return;
       }
     }
   };

@@ -43,6 +43,10 @@ bool decode_png(const char* path, PngImage* out) {
   fseek(f, 0, SEEK_END);
   long size = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (size < 0) {  // ftell failure would turn into a huge vector size below
+    fclose(f);
+    return false;
+  }
   std::vector<unsigned char> data(size);
   if (fread(data.data(), 1, size, f) != (size_t)size) {
     fclose(f);
@@ -86,10 +90,19 @@ bool decode_png(const char* path, PngImage* out) {
   }
   if (width <= 0 || height <= 0 || (bit_depth != 8 && bit_depth != 16))
     return false;
-
+  // cap forged IHDR dimensions BEFORE sizing buffers: with width/height up
+  // to 2^31 the products below overflow size_t math into a small allocation
+  // and the unfilter loop then writes out of bounds. 2^24 per side and
+  // ~1 GiB decoded keeps all products comfortably inside 64 bits (and far
+  // beyond any real dataset image).
+  const int64_t kMaxSide = int64_t(1) << 24;
+  const int64_t kMaxBytes = int64_t(1) << 30;
   const int bpp = channels * (bit_depth / 8);  // bytes per pixel
+  if (width > kMaxSide || height > kMaxSide ||
+      (int64_t)width * height > kMaxBytes / (bpp > 4 ? bpp : 4))
+    return false;
   const size_t stride = (size_t)width * bpp;
-  std::vector<unsigned char> raw(height * (stride + 1));
+  std::vector<unsigned char> raw((size_t)height * (stride + 1));
   uLongf raw_len = raw.size();
   if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK)
     return false;
@@ -98,7 +111,7 @@ bool decode_png(const char* path, PngImage* out) {
   // unfilter scanlines into `img` — filter type dispatched per ROW, not per
   // byte, so the simple filters (none/sub/up/avg) run as tight
   // auto-vectorizable loops instead of a per-byte switch
-  std::vector<unsigned char> img(height * stride);
+  std::vector<unsigned char> img((size_t)height * stride);
   for (int y = 0; y < height; y++) {
     unsigned char filter = raw[y * (stride + 1)];
     const unsigned char* src = &raw[y * (stride + 1) + 1];
@@ -174,7 +187,7 @@ extern "C" {
 // Decode a PNG to float32 HWC; returns channels (>0) on success, -1 on
 // failure. shape_out: [height, width, channels, bit_depth].
 int fastload_read_png(const char* path, float* out, int64_t out_cap,
-                      int64_t* shape_out) {
+                      int64_t* shape_out) try {
   PngImage img;
   if (!decode_png(path, &img)) return -1;
   if ((int64_t)img.pixels.size() > out_cap) return -1;
@@ -184,6 +197,9 @@ int fastload_read_png(const char* path, float* out, int64_t out_cap,
   shape_out[2] = img.channels;
   shape_out[3] = img.bit_depth;
   return img.channels;
+} catch (...) {
+  // never let an exception (e.g. bad_alloc) cross the C ABI into ctypes
+  return -1;
 }
 
 }  // extern "C"

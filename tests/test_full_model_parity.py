@@ -69,12 +69,19 @@ def _torch_decoder_heads(feats, params, stats, channels, segm_classes):
     return {"segm": head("segm_head"), "depth": head("depth_head")}
 
 
-@pytest.fixture(scope="module")
-def setup(tmp_path_factory):
+@pytest.fixture(scope="module", params=[32, 540], ids=["dfc32", "dfc540"])
+def setup(request, tmp_path_factory):
+    """Parametrized over decoder width: 32 (fast) and the trained 540 config
+    (reference utils/pipeline_utils.py:93-98) whose odd halving chain
+    540->270->135->67->33 is the ~13.3M-param architecture the README
+    tables were produced with — full-width parity, not just mechanism
+    parity on a narrow stand-in."""
     rng = np.random.default_rng(42)
     sd = _rand_sd(rng)
     model = BasicMTLModel(
-        segm_classes=5, decoder_first_channel=32, dtype=jnp.float32
+        segm_classes=5,
+        decoder_first_channel=request.param,
+        dtype=jnp.float32,
     )
     x = rng.uniform(size=(2, 64, 96, 3)).astype(np.float32)
     variables = model.init(
@@ -95,10 +102,16 @@ def test_full_forward_matches_torch(setup):
         jnp.asarray(x),
         train=False,
     )
+    from vision_mtl_tpu.models.unet_decoder import decoder_channels
+
     with torch.no_grad():
         feats = _torch_forward(torch.from_numpy(x.transpose(0, 3, 1, 2)), sd)
         tout = _torch_decoder_heads(
-            feats, params, stats, [32, 16, 8, 4, 2], 5
+            feats,
+            params,
+            stats,
+            decoder_channels(model.decoder_first_channel, 5),
+            5,
         )
     for k in ("segm", "depth"):
         np.testing.assert_allclose(

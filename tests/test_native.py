@@ -127,6 +127,137 @@ def test_read_png_missing_file():
         native.read_png("/nonexistent.png")
 
 
+def _npy_v1(header_body: bytes) -> bytes:
+    return (
+        b"\x93NUMPY\x01\x00"
+        + len(header_body).to_bytes(2, "little")
+        + header_body
+    )
+
+
+def test_npy_header_fuzz_no_crash(tmp_path, rng):
+    """Hostile/corrupt npy files must raise cleanly — never abort the
+    process (uncaught C++ exceptions across the ctypes ABI call
+    std::terminate) and never attempt attacker-controlled allocations."""
+    p = tmp_path / "fuzz.npy"
+
+    # pure random bytes (seeded): essentially never a valid header
+    for _ in range(150):
+        p.write_bytes(rng.bytes(int(rng.integers(0, 200))))
+        with pytest.raises(RuntimeError):
+            native.read_npy(str(p))
+
+    # every truncation of a real file fails cleanly (header or payload cut)
+    real_arr = rng.uniform(size=(6, 5)).astype(np.float32)
+    real_path = tmp_path / "real.npy"
+    np.save(real_path, real_arr)
+    real = real_path.read_bytes()
+    for cut in range(0, len(real) - 1, 3):
+        p.write_bytes(real[:cut])
+        with pytest.raises(RuntimeError):
+            native.read_npy(str(p))
+
+    # forged v2 header_len near 4 GiB: must be rejected by the header cap,
+    # not allocated (bad_alloc would kill the process)
+    p.write_bytes(b"\x93NUMPY\x02\x00" + (0xFFFFFFF0).to_bytes(4, "little"))
+    with pytest.raises(RuntimeError):
+        native.read_npy(str(p))
+
+    # hostile headers: absurd shapes, overflow-bait, zero/negative dims,
+    # garbage descr, missing keys — all validated before any payload work
+    hostile = [
+        b"{'descr': '<f4', 'fortran_order': False, 'shape': (99999999999,), }",
+        b"{'descr': '<f4', 'fortran_order': False, "
+        b"'shape': (4294967296, 4294967296), }",
+        # decoded-f32 expansion bait: 1.9 GiB of int8 -> would be 7.6 GiB f32
+        b"{'descr': '|i1', 'fortran_order': False, 'shape': (2000000000,), }",
+        b"{'descr': '<f4', 'fortran_order': False, 'shape': (0,), }",
+        b"{'descr': '<f4', 'fortran_order': False, 'shape': (-3, 5), }",
+        b"{'descr': '<f4', 'fortran_order': False, 'shape': }",
+        b"{'descr': '', 'fortran_order': False, 'shape': (2, 2), }",
+        b"{'descr': '<f999', 'fortran_order': False, 'shape': (2, 2), }",
+        b"{'descr': '>f4', 'fortran_order': False, 'shape': (2, 2), }",
+        b"{'fortran_order': False, 'shape': (2, 2), }",
+        b"{'descr': '<f4', 'fortran_order': True, 'shape': (2, 2), }",
+        b"{",
+        b"",
+    ]
+    for body in hostile:
+        p.write_bytes(_npy_v1(body))
+        with pytest.raises(RuntimeError):
+            native.read_npy(str(p))
+
+    # the parser still works after all that
+    np.testing.assert_allclose(native.read_npy(str(real_path)), real_arr)
+
+
+def test_png_fuzz_no_crash(tmp_path, rng):
+    """Hostile/corrupt PNGs: forged IHDR dimensions must be rejected before
+    buffer sizing (size_t overflow would under-allocate, then the unfilter
+    loop writes out of bounds); mutations/truncations never crash."""
+    import struct
+
+    from PIL import Image
+
+    p = tmp_path / "fuzz.png"
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload)) + typ + payload + b"\0\0\0\0"
+
+    # forged IHDR dimension grid, incl. the size_t-overflow baits
+    for w, h in [
+        (2**31 - 1, 2**31 - 1),
+        (2**24 + 1, 1),
+        (1, 2**24 + 1),
+        (2**20, 2**20),
+        (0, 10),
+        (10, 0),
+    ]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        p.write_bytes(magic + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+        with pytest.raises(RuntimeError):
+            native.read_png(str(p))
+
+    # a real PNG: every prefix truncation either fails cleanly or — when the
+    # cut only drops bytes past the complete IDAT (e.g. the IEND chunk) —
+    # still decodes to exactly the right pixels
+    rgb = rng.integers(0, 255, size=(9, 11, 3), dtype=np.uint8)
+    real_path = tmp_path / "real.png"
+    Image.fromarray(rgb).save(real_path)
+    real = bytearray(real_path.read_bytes())
+    for cut in range(0, len(real) - 1, 5):
+        p.write_bytes(bytes(real[:cut]))
+        try:
+            out = native.read_png(str(p))
+        except RuntimeError:
+            continue
+        np.testing.assert_array_equal(out, rgb.astype(np.float32))
+
+    # random single-byte mutations: decode may fail OR succeed with altered
+    # pixels — either way no crash, and any success has sane bounds
+    for _ in range(150):
+        mutated = bytearray(real)
+        pos = int(rng.integers(0, len(mutated)))
+        mutated[pos] = int(rng.integers(0, 256))
+        p.write_bytes(bytes(mutated))
+        try:
+            out = native.read_png(str(p))
+            assert out.size <= 2**24
+        except RuntimeError:
+            pass
+
+    # random garbage behind the magic
+    for _ in range(100):
+        p.write_bytes(magic + rng.bytes(int(rng.integers(0, 120))))
+        with pytest.raises(RuntimeError):
+            native.read_png(str(p))
+
+    np.testing.assert_array_equal(
+        native.read_png(str(real_path)), rgb.astype(np.float32)
+    )
+
+
 def test_corrupt_int64_label_fails_sample(tmp_path, rng):
     """A label outside int32 range (e.g. 2^32-1, which would silently wrap
     to -1 and get remapped as the ignore value) fails the sample instead of

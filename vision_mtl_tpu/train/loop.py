@@ -14,6 +14,7 @@ Metric-name surface matches the reference: ``step/{stage}/{k}``,
 from __future__ import annotations
 
 import argparse
+import time
 import typing as t
 from collections import defaultdict
 
@@ -305,6 +306,7 @@ def run_pipe(
     for epoch in range(start_epoch, num_epochs):
         print(f"### Epoch {epoch + 1}/{num_epochs} ###")
         # ---------------- train ----------------
+        epoch_t0 = time.perf_counter()
         if epoch == start_epoch and initial_train_mstate is not None:
             # continue the interrupted epoch's metric accumulators so its
             # epoch-end train metrics match an uninterrupted run exactly
@@ -336,8 +338,26 @@ def run_pipe(
                 step_log.flush()
                 _preempt_exit(epoch, batch_in_epoch, mstate, val_step)
         step_log.flush()
+        epoch_start_batch = start_batch if epoch == start_epoch else 0
 
         train_metrics = _metrics_float(mstate)
+        # end-to-end epoch throughput (host decode + H2D + compute): the
+        # _metrics_float device fetch above IS the honest sync — on
+        # relay-attached TPUs block_until_ready alone measures dispatch rate
+        # (docs/BENCH_NOTES.md). Observability only; NOT part of the
+        # reference-parity metric surface (epoch_metrics stays untouched).
+        epoch_dt = time.perf_counter() - epoch_t0
+        imgs_seen = (batch_in_epoch - epoch_start_batch) * train_loader.batch_size
+        if epoch_dt > 0 and imgs_seen > 0:
+            ips = imgs_seen / epoch_dt
+            print(
+                f"epoch/train throughput: {ips:.1f} img/s end-to-end "
+                f"({imgs_seen} imgs in {epoch_dt:.1f}s)"
+            )
+            if logger is not None:
+                logger.log_metrics(
+                    {"epoch/train/imgs_per_sec": ips}, step=epoch
+                )
         for k, v in train_metrics.items():
             epoch_metrics["train"][f"train/{k}"].append(v)
         print(
