@@ -16,7 +16,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-N="${1:-2}"; shift || true
+# N comes from a leading NUMERIC argument or the N env var (documented
+# above). Matching digits-only keeps a leading flag ("--model_name ...")
+# from being swallowed as the process count.
+if [[ "${1:-}" =~ ^[0-9]+$ ]]; then
+  N="$1"; shift
+else
+  N="${N:-2}"
+fi
 PORT="${PORT:-$((20000 + RANDOM % 20000))}"
 
 pids=()

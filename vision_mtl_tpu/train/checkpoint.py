@@ -43,15 +43,20 @@ def wait_for_saves() -> None:
 
 
 def to_host(tree: t.Any) -> t.Any:
-    """``jax.device_get`` that also handles PROCESS-SPANNING shardings
-    (multi-process tensor parallelism): an array whose shards live on
-    other hosts is not addressable from this one, so it is allgathered
-    (tiled — a collective, every process must call) before the host fetch.
-    Replicated/dp state (every mp test and the common CLI configs) takes
-    the plain device_get path unchanged."""
+    """``jax.device_get`` that also handles PROCESS-SPANNING shardings.
+    Under ANY multi-process mesh even fully-replicated state reports
+    ``is_fully_addressable=False`` (the sharding names remote devices), so
+    the common dp/replicated leaves take a local-copy fast path — this
+    process already holds a complete shard; one jitted allgather per leaf
+    per save would be pure dispatch overhead (~740 leaves for the trained
+    configs). Only genuinely partitioned state (multi-process tensor
+    parallelism) pays the tiled ``process_allgather`` — a collective,
+    every process must call."""
 
     def get(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))

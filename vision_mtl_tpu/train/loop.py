@@ -102,12 +102,10 @@ def _align_cpu_multiprocess(
     ONE tiny warmup collective while the processes are tightly in step —
     so every first execution in the real loop is a near-simultaneous
     cache hit inside gloo's 30s rendezvous window."""
+    # fresh throwaway loaders (datamodule factories construct per call, so
+    # peeking here cannot consume the training loader's epoch/skip state)
     train_loader = datamodule.train_dataloader()
-    # peek one batch WITHOUT advancing the loader's epoch/skip state
-    saved_epoch, saved_skip = train_loader.epoch, train_loader.skip_batches
-    train_loader.skip_batches = 0
     train_batch = next(iter(train_loader))
-    train_loader.epoch, train_loader.skip_batches = saved_epoch, saved_skip
     val_batch = next(iter(datamodule.val_dataloader()))
 
     full = getattr(train_loader, "shard_rows", True) is False
@@ -238,6 +236,10 @@ def run_pipe(
             f"Preempted at epoch {epoch + 1} step {global_step}; resume "
             "with --resume_dir."
         )
+        # NOTE: no jax.distributed shutdown here — run_pipe does not own
+        # the process group (tests resume in-process after catching this
+        # SystemExit). training.main's finally does the coordinated
+        # shutdown on this exit path too.
         raise SystemExit(143)
 
     benchmark_batch = datamodule.benchmark_batch

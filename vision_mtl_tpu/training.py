@@ -69,9 +69,31 @@ def main(argv=None) -> None:
     # silently train as an independent single-process job
     # (parallel/multihost.py)
     args = parse_args(argv)
-    from vision_mtl_tpu.parallel.multihost import maybe_initialize_distributed
+    from vision_mtl_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+        shutdown_distributed,
+    )
 
     maybe_initialize_distributed()
+    try:
+        _main(args)
+    except SystemExit:
+        # process-uniform exits (the preemption guard's exit 143, arg
+        # validation) must ALSO leave the coordination service together —
+        # otherwise the leader's interpreter teardown fatals a
+        # still-connected peer and a relaunch loop keyed on exit 143 sees a
+        # random abort instead. Non-uniform failures (one process crashing)
+        # deliberately skip this: a barrier no peer will reach only delays
+        # the inevitable collective failure.
+        shutdown_distributed()
+        raise
+    # multi-process: leave the coordination service together — letting
+    # interpreter teardown race it can fatal a still-connected peer after
+    # a fully successful run (parallel/multihost.py)
+    shutdown_distributed()
+
+
+def _main(args) -> None:
     cfg.update_fields_with_args(args)
     _select_backend(args.device)
     _setup_compile_cache()
@@ -219,13 +241,6 @@ def main(argv=None) -> None:
         )
         exp.end()
     logger.close()
-
-    # multi-process: leave the coordination service together — letting
-    # interpreter teardown race it can fatal a still-connected peer after
-    # a fully successful run (parallel/multihost.py)
-    from vision_mtl_tpu.parallel.multihost import shutdown_distributed
-
-    shutdown_distributed()
 
 
 if __name__ == "__main__":
