@@ -28,8 +28,14 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 30.0
 
 # per-model sweet-spot batch sizes on v5e (measured bs sweeps,
-# docs/BENCH_NOTES.md; basic swept round 2, mtan/csnet round 3)
-DEFAULT_TPU_BS = {"basic": 128, "mtan": 128, "csnet": 128}
+# docs/BENCH_NOTES.md; basic swept round 2, mtan/csnet round 3; nyuv2
+# shape swept late round 3 — mtan OOMs at bs>=64 at 256x256 and its
+# throughput FALLS with bs there (bs8 118.8 / bs16 118.2 / bs32 108 /
+# bs48 97 img/s); basic/csnet bs192 regress like at 128x256)
+DEFAULT_TPU_BS = {
+    "cityscapes": {"basic": 128, "mtan": 128, "csnet": 128},
+    "nyuv2": {"basic": 128, "mtan": 16, "csnet": 128},
+}
 
 
 def measure(
@@ -39,6 +45,7 @@ def measure(
     warmup: int,
     h: int,
     w: int,
+    dataset: str = "cityscapes",
     fold_tail: bool = False,
     merge_heads: bool = True,
     remat_tail: int = 0,
@@ -51,13 +58,14 @@ def measure(
     batches. Sync via a scalar fetch from the end of the dependency chain —
     on the remote-attached TPU backend block_until_ready can return before
     execution finishes, which silently turns timings into dispatch rates."""
-    from vision_mtl_tpu.cfg import cityscapes_data_cfg
+    from vision_mtl_tpu.cfg import fetch_data_cfg
     from vision_mtl_tpu.metrics import init_metrics
     from vision_mtl_tpu.models import build_model
     from vision_mtl_tpu.train.state import create_train_state
     from vision_mtl_tpu.train.step import make_train_step
 
-    num_classes = cityscapes_data_cfg.num_classes
+    data_cfg = fetch_data_cfg(dataset)
+    num_classes = data_cfg.num_classes
     model_args = argparse.Namespace(
         model_name=model_name,
         channel_wise_stitching=True,
@@ -68,7 +76,7 @@ def measure(
         remat_attention=remat_attention,
         remat_shared=remat_shared,
     )
-    model = build_model(model_args, cityscapes_data_cfg, dtype=jnp.bfloat16)
+    model = build_model(model_args, data_cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     # small rotating pool of device-resident batches (isolates compute-path
@@ -125,8 +133,13 @@ def main() -> None:
     )
     p.add_argument("--batch_size", type=int, default=0, help="0 = auto")
     p.add_argument("--steps", type=int, default=0, help="0 = auto")
-    p.add_argument("--height", type=int, default=128)
-    p.add_argument("--width", type=int, default=256)
+    p.add_argument(
+        "--dataset", default="cityscapes", choices=["cityscapes", "nyuv2"],
+        help="picks num_classes (19 vs 14) and the default train shape "
+        "(128x256 vs 256x256 — the reference's two headline configs)",
+    )
+    p.add_argument("--height", type=int, default=0, help="0 = dataset default")
+    p.add_argument("--width", type=int, default=0, help="0 = dataset default")
     p.add_argument(
         "--fold_tail", action="store_true",
         help="space-to-depth folded decoder tail (exact; measured slower "
@@ -179,11 +192,16 @@ def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     steps = args.steps or (5 if args.quick else 30)
     warmup = 2 if args.quick else 5
+    # dataset-default train shapes (reference cfg.py:103-114 / :121-142)
+    if not args.height:
+        args.height = 128 if args.dataset == "cityscapes" else 256
+    if not args.width:
+        args.width = 256 if args.dataset == "cityscapes" else 256
 
     def auto_bs(name: str) -> int:
         if args.batch_size:
             return args.batch_size
-        return DEFAULT_TPU_BS[name] if on_tpu else 4
+        return DEFAULT_TPU_BS[args.dataset][name] if on_tpu else 4
 
     models = ["basic", "mtan", "csnet"] if args.all_models else [args.model]
     results = {}
@@ -196,6 +214,7 @@ def main() -> None:
                 warmup,
                 args.height,
                 args.width,
+                dataset=args.dataset,
                 fold_tail=args.fold_tail,
                 merge_heads=args.merge_heads,
                 remat_tail=args.remat_tail,
@@ -212,7 +231,7 @@ def main() -> None:
     payload = {
         "metric": (
             f"train images/sec/chip ({flagship}, {args.height}x{args.width} "
-            f"cityscapes MTL, bf16, bs{auto_bs(flagship)})"
+            f"{args.dataset} MTL, bf16, bs{auto_bs(flagship)})"
         ),
         "value": value,
         "unit": "images/sec/chip",
