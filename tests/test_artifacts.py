@@ -144,3 +144,78 @@ def test_hostile_asset_names_are_skipped(tmp_path, capsys):
     assert len(api.downloads) == 1  # evil + shadow both skipped
     captured = capsys.readouterr().out
     assert "escapes" in captured and "names the" in captured
+
+
+# ---------------------------------------------------------------------------
+# Local trained-run registry (the auto-populated equivalent of the
+# reference's hardcoded comet run table, comet_utils.py:9-30)
+# ---------------------------------------------------------------------------
+
+
+def test_registry_roundtrip_and_newest_wins(tmp_path):
+    reg = str(tmp_path / "run_registry.json")
+    run_a = tmp_path / "version_0"
+    run_b = tmp_path / "version_1"
+    run_a.mkdir()
+    run_b.mkdir()
+    artifacts.register_run("basic", "cityscapes", str(run_a), path=reg)
+    artifacts.register_run("mtan", "cityscapes", str(run_b), path=reg)
+    # same (key, dataset) again: newest run wins, like the reference
+    # updating its table after a better run
+    artifacts.register_run("basic", "cityscapes", str(run_b), path=reg)
+    # same key, other dataset: independent slot
+    artifacts.register_run("basic", "nyuv2", str(run_a), path=reg)
+
+    got = artifacts.registered_runs("cityscapes", path=reg)
+    assert set(got) == {"basic", "mtan"}
+    assert got["basic"]["run_dir"] == str(run_b)
+    assert got["basic"]["model_name"] == "basic"
+    nyu = artifacts.registered_runs("nyuv2", path=reg)
+    assert set(nyu) == {"basic"}
+    assert nyu["basic"]["run_dir"] == str(run_a)
+
+
+def test_registry_skips_deleted_run_dirs(tmp_path, capsys):
+    reg = str(tmp_path / "run_registry.json")
+    gone = tmp_path / "deleted_run"
+    gone.mkdir()
+    artifacts.register_run("csnet", "cityscapes", str(gone), path=reg)
+    gone.rmdir()
+    got = artifacts.registered_runs("cityscapes", path=reg)
+    assert got == {}
+    assert "no longer exists" in capsys.readouterr().out
+
+
+def test_registry_key_derivation():
+    import argparse
+
+    def ns(**kw):
+        base = dict(
+            run_name=None,
+            model_name="basic",
+            backbone_weights=None,
+            do_optimize=False,
+        )
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    assert artifacts.run_registry_key(ns()) == "basic"
+    assert (
+        artifacts.run_registry_key(ns(backbone_weights="imagenet"))
+        == "basic_pretrained"
+    )
+    assert artifacts.run_registry_key(ns(do_optimize=True)) == "basic_tuned"
+    # --run_name always wins
+    assert artifacts.run_registry_key(ns(run_name="my_run")) == "my_run"
+
+
+def test_registry_missing_file_is_empty(tmp_path):
+    assert artifacts.load_registry(str(tmp_path / "nope.json")) == {}
+    assert artifacts.registered_runs("cityscapes", path=str(tmp_path / "n.json")) == {}
+
+
+def test_registry_rejects_non_object_json(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text("[1, 2, 3]")
+    with pytest.raises(ValueError):
+        artifacts.load_registry(str(bad))

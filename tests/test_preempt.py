@@ -414,6 +414,24 @@ def test_cli_preempt_and_resume_end_to_end(tmp_path):
     assert "Resumed preempted run" in out2
     assert "predict:" in out2  # ran to completion through the predict sweep
 
+    # the COMPLETED run published itself in the local trained-run registry
+    # (training.main -> tracking/artifacts.register_run); the preempted
+    # first launch must NOT have (it exited 143 before the predict sweep)
+    from vision_mtl_tpu.tracking.artifacts import registered_runs
+
+    reg_path = os.path.join(str(tmp_path), "run_registry.json")
+    assert os.path.exists(reg_path), os.listdir(str(tmp_path))
+    got = registered_runs("synthetic", path=reg_path)
+    assert set(got) == {"basic"}
+    # the resumed run claims a fresh version dir (version_1) and that —
+    # the dir holding the COMPLETED run's checkpoints — is what registers;
+    # it must be loadable by the eval harness (has epoch checkpoints)
+    reg_dir = got["basic"]["run_dir"]
+    assert reg_dir.startswith(os.path.join(str(tmp_path), "training-basic"))
+    assert any(
+        name.startswith("model_") for name in os.listdir(reg_dir)
+    ), os.listdir(reg_dir)
+
 
 def test_find_latest_resumable_run(tmp_path):
     from vision_mtl_tpu.metrics import init_metrics

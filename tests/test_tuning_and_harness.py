@@ -241,3 +241,71 @@ def test_evaluate_run_reconstructs_model_config(tmp_path, monkeypatch):
     assert seen["channel_wise_stitching"] is False
     assert seen["loss_segm_weight"] == 0.25
     assert seen["loss_depth_weight"] == 0.75
+
+
+def test_harness_from_registry(tmp_path, monkeypatch, capsys):
+    """--from_registry resolves every registered run for the dataset and
+    evaluates each (the get_model_metrics.ipynb sweep, turnkey)."""
+    import vision_mtl_tpu.eval_harness as eh
+    from vision_mtl_tpu.tracking.artifacts import register_run
+
+    reg = str(tmp_path / "run_registry.json")
+    for key, model in [("basic", "basic"), ("mtan_tuned", "mtan")]:
+        d = tmp_path / key
+        d.mkdir()
+        register_run(model, "synthetic", str(d), key=key, path=reg)
+
+    seen = []
+
+    def fake_evaluate(model_name, ckpt_dir, dataset_name, batch_size):
+        seen.append((model_name, ckpt_dir, dataset_name))
+        return {"loss": 1.0, "accuracy": 0.5}
+
+    monkeypatch.setattr(eh, "evaluate_run", fake_evaluate)
+    out_csv = str(tmp_path / "metrics.csv")
+    eh.main(
+        [
+            "--dataset_name", "synthetic",
+            "--from_registry", "--registry", reg,
+            "--out", out_csv,
+        ]
+    )
+    assert {m for m, _, _ in seen} == {"basic", "mtan"}
+    assert all(ds == "synthetic" for _, _, ds in seen)
+    import os
+
+    assert os.path.exists(out_csv)
+    table = capsys.readouterr().out
+    assert "basic" in table and "mtan_tuned" in table
+
+
+def test_harness_requires_exactly_one_source(tmp_path):
+    import pytest
+
+    import vision_mtl_tpu.eval_harness as eh
+
+    with pytest.raises(SystemExit):
+        eh.main(["--dataset_name", "synthetic"])  # neither
+    with pytest.raises(SystemExit):
+        eh.main(
+            [
+                "--dataset_name", "synthetic",
+                "--runs", "basic=/x",
+                "--from_registry",
+            ]
+        )  # both
+
+
+def test_harness_from_registry_empty_errors(tmp_path):
+    import pytest
+
+    import vision_mtl_tpu.eval_harness as eh
+
+    with pytest.raises(SystemExit, match="no registered runs"):
+        eh.main(
+            [
+                "--dataset_name", "synthetic",
+                "--from_registry",
+                "--registry", str(tmp_path / "empty.json"),
+            ]
+        )

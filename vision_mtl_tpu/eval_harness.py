@@ -8,10 +8,16 @@ Usage:
     python -m vision_mtl_tpu.eval_harness --dataset_name cityscapes \
         --runs basic=/path/to/ckpt_dir mtan=/path/to/ckpt_dir2 \
         [--out metrics.csv]
+    python -m vision_mtl_tpu.eval_harness --dataset_name cityscapes \
+        --from_registry   # every run training.main auto-registered
 
 Each ``--runs`` entry is ``{model_name}[:tag]={ckpt_dir}``; the ckpt_dir is
 the run directory containing ``model_{epoch}`` artifacts (latest epoch is
 selected, like the reference's regex pick, pipeline_utils.py:217-238).
+``--from_registry`` instead iterates the local trained-run registry that
+every finished training run publishes to (tracking/artifacts.py — the
+reference notebook's hardcoded run table, comet_utils.py:9-30), exactly
+how get_model_metrics.ipynb sweeps its 5 models per dataset.
 """
 
 from __future__ import annotations
@@ -123,17 +129,48 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
     p.add_argument(
         "--runs",
         nargs="+",
-        required=True,
+        default=None,
         help="entries like model_name[:tag]=ckpt_dir",
+    )
+    p.add_argument(
+        "--from_registry",
+        action="store_true",
+        help="evaluate every registered run for --dataset_name (the local "
+        "registry training runs publish to; tracking/artifacts.py)",
+    )
+    p.add_argument(
+        "--registry",
+        default=None,
+        help="registry file override (default: {log_root}/run_registry.json)",
     )
     p.add_argument("--out", default=None, help="CSV output path")
     args = p.parse_args(argv)
+    if bool(args.runs) == bool(args.from_registry):
+        raise SystemExit("pass exactly one of --runs / --from_registry")
+
+    todo: t.List[t.Tuple[str, str, str]] = []  # (tag, model_name, ckpt_dir)
+    if args.from_registry:
+        from vision_mtl_tpu.tracking.artifacts import registered_runs
+
+        entries = registered_runs(args.dataset_name, path=args.registry)
+        if not entries:
+            raise SystemExit(
+                f"no registered runs for dataset {args.dataset_name!r} — "
+                f"train something first (training.main registers runs on "
+                f"completion) or pass --runs explicitly."
+            )
+        todo = [
+            (tag, e["model_name"], e["run_dir"])
+            for tag, e in entries.items()
+        ]
+    else:
+        for entry in args.runs:
+            spec, _, ckpt_dir = entry.partition("=")
+            model_name, _, tag = spec.partition(":")
+            todo.append((tag or model_name, model_name, ckpt_dir))
 
     results: t.Dict[str, t.Dict[str, float]] = {}
-    for entry in args.runs:
-        spec, _, ckpt_dir = entry.partition("=")
-        model_name, _, tag = spec.partition(":")
-        tag = tag or model_name
+    for tag, model_name, ckpt_dir in todo:
         if tag in results:
             raise SystemExit(
                 f"duplicate tag {tag!r} in --runs — give each run a unique "

@@ -145,3 +145,116 @@ def load_artifacts_from_comet(
             os.path.join(local_artifacts_dir, session_artifact_name),
         )
     return results
+
+
+# ---------------------------------------------------------------------------
+# Local trained-run registry
+#
+# The reference ships a hardcoded table of its 10 published comet runs
+# (comet_utils.py:9-30) that get_model_metrics.ipynb iterates to build the
+# README results tables. This framework's runs live on the local/shared
+# filesystem, so the equivalent registry is a JSON file under the run-dir
+# root, POPULATED AUTOMATICALLY at the end of every successful training run
+# (training.main) and consumed by the eval harness
+# (``python -m vision_mtl_tpu.eval_harness --from_registry``). Newest run
+# per (key, dataset) wins, exactly like the reference updating its table by
+# hand after a better run.
+# ---------------------------------------------------------------------------
+
+
+def registry_path() -> str:
+    """Default registry location: ``{log_root}/run_registry.json`` — the
+    shared run-dir root, so every jax.distributed process (and any later
+    eval job on the same filesystem) resolves the same file."""
+    return os.path.join(str(cfg.log_root_dir), "run_registry.json")
+
+
+def run_registry_key(args: t.Any) -> str:
+    """Registry key for a finished training run. ``--run_name`` wins when
+    given; otherwise the model name plus the same qualifiers the reference's
+    table distinguishes (comet_utils.py:9-30: ``basic_non_pretrained`` /
+    ``basic`` (imagenet) / ``basic_tuned``): ``_pretrained`` for imagenet
+    backbone weights, ``_tuned`` after a ``--do_optimize`` sweep."""
+    if getattr(args, "run_name", None):
+        return str(args.run_name)
+    key = str(args.model_name)
+    if getattr(args, "backbone_weights", None):
+        key += "_pretrained"
+    if getattr(args, "do_optimize", False):
+        key += "_tuned"
+    return key
+
+
+def load_registry(path: t.Optional[str] = None) -> t.Dict[str, t.Any]:
+    """{key: {dataset: {"model_name": ..., "run_dir": ...}}}; {} when the
+    registry does not exist yet (no runs published)."""
+    import json
+
+    path = path or registry_path()
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        data = json.load(f)
+    if not isinstance(data, dict):
+        raise ValueError(f"{path}: expected a JSON object at top level")
+    return data
+
+
+def register_run(
+    model_name: str,
+    dataset_name: str,
+    run_dir: str,
+    key: t.Optional[str] = None,
+    path: t.Optional[str] = None,
+) -> str:
+    """Record a trained run under ``key`` (default: the model name) for
+    ``dataset_name``. Atomic via write-to-tempfile + ``os.replace`` so a
+    concurrent reader never sees a torn file. Returns the registry path.
+
+    Call on ONE process only under jax.distributed (training.main gates on
+    process 0) — the registry is last-writer-wins, not a lock."""
+    import json
+    import tempfile
+
+    path = path or registry_path()
+    key = key or model_name
+    data = load_registry(path)
+    data.setdefault(key, {})[dataset_name] = {
+        "model_name": model_name,
+        "run_dir": os.path.abspath(run_dir),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return path
+
+
+def registered_runs(
+    dataset_name: str, path: t.Optional[str] = None
+) -> t.Dict[str, t.Dict[str, str]]:
+    """{key: {"model_name", "run_dir"}} for one dataset, skipping (with a
+    note) entries whose run dir has since been deleted."""
+    out: t.Dict[str, t.Dict[str, str]] = {}
+    for key, per_ds in sorted(load_registry(path).items()):
+        entry = per_ds.get(dataset_name)
+        if entry is None:
+            continue
+        if not os.path.isdir(entry["run_dir"]):
+            print(
+                f"registry: skipping {key!r} — run dir no longer exists: "
+                f"{entry['run_dir']}"
+            )
+            continue
+        out[key] = entry
+    return out

@@ -140,6 +140,14 @@ def _main(args) -> None:
         update_args(args, optimal_params)
         args.exp_tags = list(args.exp_tags) + ["best_trial"]
 
+    # registry key from the USER's args — create_tools may overwrite
+    # run_name with the comet experiment name (pipeline.py), and the
+    # registry should keep stable model-derived keys ("basic_tuned"), like
+    # the reference's table (comet_utils.py:9-30)
+    from vision_mtl_tpu.tracking.artifacts import run_registry_key
+
+    registry_key = run_registry_key(args)
+
     tools = create_tools(args)
     exp = tools["exp"]
     logger = tools["logger"]
@@ -234,6 +242,19 @@ def _main(args) -> None:
         + " ".join(f"{k}: {v:.3f}" for k, v in predict_metrics.items())
     )
     logger.log_metrics(predict_metrics, step=args.num_epochs)
+    if jax.process_index() == 0:
+        # publish the finished run in the local trained-run registry (the
+        # reference's comet_utils.py:9-30 table, auto-populated) so
+        # `eval_harness --from_registry` finds it without hand-typed paths
+        from vision_mtl_tpu.tracking.artifacts import register_run
+
+        reg = register_run(
+            args.model_name,
+            args.dataset_name,
+            logger.log_dir,
+            key=registry_key,
+        )
+        print(f"Registered run {registry_key!r} in {reg}")
     if exp:
         exp.log_metrics(
             {f"epoch/{k}": v for k, v in predict_metrics.items()},
