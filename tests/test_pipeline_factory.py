@@ -117,6 +117,29 @@ def test_print_sample_stats(capsys):
     assert "img" in out and "arr.shape=(2, 4, 4, 3)" in out
 
 
+def test_get_module_by_name_walks_param_trees():
+    """Dotted-path pytree lookup (the JAX re-interpretation of the
+    reference's nn.Module walk, utils/utils.py:52-58)."""
+    import pytest
+
+    from vision_mtl_tpu.utils.debug import get_module_by_name
+
+    tree = {"encoder": {"block_0": {"conv": {"kernel": np.ones((3, 3))}}}}
+    got = get_module_by_name(tree, "encoder.block_0.conv.kernel")
+    assert got.shape == (3, 3)
+    # intermediate nodes resolve too
+    assert set(get_module_by_name(tree, "encoder.block_0")) == {"conv"}
+    with pytest.raises(KeyError, match="encoder.block_1"):
+        get_module_by_name(tree, "encoder.block_1.conv")
+    # attribute fallback for dataclass-like leaves
+    class Node:
+        weight = 7
+
+    assert get_module_by_name({"head": Node()}, "head.weight") == 7
+    with pytest.raises(KeyError, match="head.bias"):
+        get_module_by_name({"head": Node()}, "head.bias")
+
+
 def test_restore_session_skips_epoch_without_session(tmp_path, monkeypatch):
     """A crash between the async model/session saves can leave model_N
     without session_N; exact-resume must fall back to the latest epoch with
