@@ -402,10 +402,21 @@ int fastload_load_batch(const char** img_paths, const char** mask_paths,
 
   std::vector<std::thread> threads;
   int nt = num_threads < batch ? num_threads : batch;
-  threads.reserve(nt);
-  for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+  bool spawn_failed = false;
+  try {
+    threads.reserve(nt);
+    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+  } catch (...) {
+    // bad_alloc/system_error under memory or thread-limit pressure must
+    // not cross the C ABI (std::terminate via ctypes) nor destroy a
+    // joinable std::thread (also std::terminate). Signal the workers
+    // already running to stop via the shared failure flag, join below,
+    // and report batch+1 (no sample is at fault — infrastructure failure).
+    spawn_failed = true;
+    failed.store(batch + 1);
+  }
   for (auto& t : threads) t.join();
-  return failed.load();
+  return spawn_failed ? batch + 1 : failed.load();
 }
 
 }  // extern "C"

@@ -26,14 +26,22 @@ else
 fi
 PORT="${PORT:-$((20000 + RANDOM % 20000))}"
 
+# keep user-supplied flags word-intact (--run_name "my run" must not
+# re-split); the default only applies when no flags were given
+if (($#)); then
+  flags=("$@")
+else
+  flags=(--dataset_name synthetic --model_name basic --num_epochs 1
+         --batch_size 8 --exp_disabled)
+fi
+
 pids=()
 for i in $(seq 0 $((N - 1))); do
   JAX_PLATFORMS=cpu \
   COORDINATOR_ADDRESS="127.0.0.1:${PORT}" \
   JAX_NUM_PROCESSES="$N" \
   JAX_PROCESS_ID="$i" \
-  python -m vision_mtl_tpu.training --device cpu:1 \
-    ${@:---dataset_name synthetic --model_name basic --num_epochs 1 --batch_size 8 --exp_disabled} \
+  python -m vision_mtl_tpu.training --device cpu:1 "${flags[@]}" \
     2>&1 | sed "s/^/[proc $i] /" &
   pids+=($!)
 done

@@ -432,6 +432,50 @@ def test_cli_preempt_and_resume_end_to_end(tmp_path):
         name.startswith("model_") for name in os.listdir(reg_dir)
     ), os.listdir(reg_dir)
 
+    # a restart-policy relaunch of the ALREADY-COMPLETED run trains zero
+    # epochs into a fresh version dir with no checkpoints — it must not
+    # clobber the good registry entry with a checkpoint-less one
+    p3 = subprocess.run(
+        cli + ["--auto_resume"], env=env, cwd=cwd, timeout=560,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    out3 = p3.stdout.decode()
+    assert p3.returncode == 0, out3[-3000:]
+    assert "Not registering" in out3, out3[-3000:]
+    got3 = registered_runs("synthetic", path=reg_path)
+    assert got3["basic"]["run_dir"] == reg_dir
+    assert any(
+        name.startswith("model_")
+        for name in os.listdir(got3["basic"]["run_dir"])
+    ), os.listdir(reg_dir)
+
+
+def test_resolve_resume_survives_corrupt_meta(tmp_path, capsys):
+    """A truncated preempt_meta.json (SIGKILL mid-write on a pre-atomic
+    build) must not turn every --auto_resume relaunch into a crash loop:
+    the sidecar is only a recency cache — fall back to the preemption
+    artifact when it is the only state (its true position lives in the
+    Orbax session) and to the epoch checkpoints otherwise."""
+    from vision_mtl_tpu.train.checkpoint import resolve_resume
+
+    run = tmp_path / "version_0"
+    (run / "preempt_model").mkdir(parents=True)
+    (run / "preempt_session").mkdir()
+    (run / "preempt_meta.json").write_text('{"epoch": 1, "ba')  # truncated
+
+    # no epoch saves: the preemption artifact is the only state
+    assert resolve_resume(str(run)) == "preempt"
+    assert "unreadable" in capsys.readouterr().out
+
+    # epoch saves exist: recency is undecidable -> conservative epoch resume
+    (run / "model_0").mkdir()
+    (run / "session_0").mkdir()
+    assert resolve_resume(str(run)) == "epoch"
+
+    # an intact sidecar newer than the epoch saves still wins
+    (run / "preempt_meta.json").write_text('{"epoch": 1, "batch_in_epoch": 3}')
+    assert resolve_resume(str(run)) == "preempt"
+
 
 def test_find_latest_resumable_run(tmp_path):
     from vision_mtl_tpu.metrics import init_metrics

@@ -177,6 +177,13 @@ def load_cityscapes_batch(
         num_threads,
     )
     if rc != 0:
+        if rc - 1 >= len(img_paths):
+            # batch+1 sentinel: worker-thread spawn failed (bad_alloc /
+            # thread-limit), no sample at fault
+            raise RuntimeError(
+                "native batch load failed: could not spawn worker threads "
+                "(memory or thread-limit pressure)"
+            )
         raise RuntimeError(
             f"native batch load failed at sample {rc - 1}: "
             f"{img_paths[rc - 1]}"

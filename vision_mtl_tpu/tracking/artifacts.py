@@ -208,35 +208,42 @@ def register_run(
     path: t.Optional[str] = None,
 ) -> str:
     """Record a trained run under ``key`` (default: the model name) for
-    ``dataset_name``. Atomic via write-to-tempfile + ``os.replace`` so a
-    concurrent reader never sees a torn file. Returns the registry path.
+    ``dataset_name``. The read-modify-write is serialized via an ``flock``
+    on a ``.lock`` sibling (independent trainings sharing a log_root — the
+    README-table workflow — may finish simultaneously; without the lock
+    the loser's entry would silently vanish) and the write itself is
+    atomic via tempfile + ``os.replace`` so a concurrent reader never
+    sees a torn file. Returns the registry path.
 
     Call on ONE process only under jax.distributed (training.main gates on
-    process 0) — the registry is last-writer-wins, not a lock."""
+    process 0)."""
+    import fcntl
     import json
     import tempfile
 
     path = path or registry_path()
     key = key or model_name
-    data = load_registry(path)
-    data.setdefault(key, {})[dataset_name] = {
-        "model_name": model_name,
-        "run_dir": os.path.abspath(run_dir),
-    }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    fd, tmp = tempfile.mkstemp(
-        dir=os.path.dirname(path) or ".", suffix=".tmp"
-    )
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(data, f, indent=2, sort_keys=True)
-        os.replace(tmp, path)
-    except BaseException:
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        data = load_registry(path)
+        data.setdefault(key, {})[dataset_name] = {
+            "model_name": model_name,
+            "run_dir": os.path.abspath(run_dir),
+        }
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path) or ".", suffix=".tmp"
+        )
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+            with os.fdopen(fd, "w") as f:
+                json.dump(data, f, indent=2, sort_keys=True)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     return path
 
 

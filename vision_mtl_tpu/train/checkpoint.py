@@ -299,9 +299,24 @@ def save_preempt_ckpt(
 
     if process_info_no_backend()[0] == 0:
         import json
+        import tempfile
 
-        with open(os.path.join(save_dir, PREEMPT_META), "w") as f:
-            json.dump({"epoch": epoch, "batch_in_epoch": batch_in_epoch}, f)
+        # atomic: this runs inside the eviction grace window — a SIGKILL
+        # between a truncating open and the flush would leave a corrupt
+        # sidecar that poisons every subsequent --auto_resume relaunch
+        fd, tmp = tempfile.mkstemp(dir=save_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"epoch": epoch, "batch_in_epoch": batch_in_epoch}, f
+                )
+            os.replace(tmp, os.path.join(save_dir, PREEMPT_META))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     print(
         f"Preemption checkpoint saved to {model_path} "
         f"(epoch {epoch}, batch {batch_in_epoch})"
@@ -327,9 +342,31 @@ def resolve_resume(ckpt_dir: str) -> str:
     wait_for_saves()
     if not _has_preempt_ckpt(ckpt_dir):
         return "epoch"
-    with open(os.path.join(ckpt_dir, PREEMPT_META)) as f:
-        meta = json.load(f)
-    preempt_pos = (int(meta["epoch"]), int(meta["batch_in_epoch"]))
+    try:
+        with open(os.path.join(ckpt_dir, PREEMPT_META)) as f:
+            meta = json.load(f)
+        preempt_pos = (int(meta["epoch"]), int(meta["batch_in_epoch"]))
+    except (ValueError, KeyError, TypeError, OSError) as e:
+        # the sidecar is only a recency-comparison cache — the true resume
+        # position lives in the Orbax session artifact. A truncated/corrupt
+        # sidecar (pre-atomic-write build, tampering) must not turn every
+        # relaunch into a crash loop: without epoch saves the preemption
+        # artifact is the only state (restore_preempt reads its position
+        # from Orbax, so it stays exact); with epoch saves fall back to
+        # them (recency is undecidable — at worst the interrupted epoch's
+        # mid-epoch progress is retrained from its boundary).
+        try:
+            _latest_common_epoch(ckpt_dir)
+        except ValueError:
+            choice = "preempt"
+        else:
+            choice = "epoch"
+        print(
+            f"WARNING: unreadable {PREEMPT_META} in {ckpt_dir} "
+            f"({type(e).__name__}: {e}); resuming from the "
+            f"{'preemption artifact' if choice == 'preempt' else 'epoch checkpoints'}."
+        )
+        return choice
     try:
         epoch_pos = (_latest_common_epoch(ckpt_dir) + 1, 0)
     except ValueError:

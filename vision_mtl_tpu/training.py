@@ -245,16 +245,30 @@ def _main(args) -> None:
     if jax.process_index() == 0:
         # publish the finished run in the local trained-run registry (the
         # reference's comet_utils.py:9-30 table, auto-populated) so
-        # `eval_harness --from_registry` finds it without hand-typed paths
+        # `eval_harness --from_registry` finds it without hand-typed paths.
+        # Only when THIS run dir holds model checkpoints: a relaunch of an
+        # already-completed run (--auto_resume restart loop) trains zero
+        # epochs into a fresh version dir and must not clobber the good
+        # entry with a checkpoint-less one.
         from vision_mtl_tpu.tracking.artifacts import register_run
 
-        reg = register_run(
-            args.model_name,
-            args.dataset_name,
-            logger.log_dir,
-            key=registry_key,
+        has_ckpt = any(
+            name.startswith("model_")
+            for name in os.listdir(logger.log_dir)
         )
-        print(f"Registered run {registry_key!r} in {reg}")
+        if has_ckpt:
+            reg = register_run(
+                args.model_name,
+                args.dataset_name,
+                logger.log_dir,
+                key=registry_key,
+            )
+            print(f"Registered run {registry_key!r} in {reg}")
+        else:
+            print(
+                f"Not registering {logger.log_dir}: no model checkpoints "
+                f"written by this launch (already-completed run?)"
+            )
     if exp:
         exp.log_metrics(
             {f"epoch/{k}": v for k, v in predict_metrics.items()},
