@@ -184,6 +184,15 @@ def test_maybe_initialize_distributed_env_contract(monkeypatch):
     with pytest.raises(RuntimeError, match="JAX_NUM_PROCESSES"):
         multihost.maybe_initialize_distributed()
 
+    # (e) count/id WITHOUT any coordinator address is still a detected
+    # launch (two-of-three launcher env) — must raise, not fall back to N
+    # independent single-process runs
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    with pytest.raises(RuntimeError, match="no coordinator address"):
+        multihost.maybe_initialize_distributed()
+
 
 def test_maybe_initialize_malformed_count_env(monkeypatch):
     """Malformed JAX_NUM_PROCESSES/JAX_PROCESS_ID (launcher templating bugs)

@@ -219,3 +219,41 @@ def test_extract_machinery_offline(tmp_path):
     assert tr.dtype == np.uint16 and tr.shape == (5, 6)
     np.testing.assert_array_equal(tr, (depths[0] * 1e4).astype(np.uint16).T)
     np.testing.assert_array_equal(te, (depths[1] * 1e4).astype(np.uint16).T)
+
+
+def test_cache_concurrent_builders_serialize(nyu_tree):
+    """Concurrent build_cache calls (every process of a pod launch under
+    VMTL_BUILD_NYU_CACHE=1, or tuning threads) must serialize on the build
+    lock — two live writers would truncate each other's .tmp memmaps and
+    the torn arrays still pass the metadata-only validity probe. force=True
+    makes every builder actually write, maximizing overlap without the
+    lock."""
+    import threading
+
+    from vision_mtl_tpu.data.nyu_cache import build_cache
+
+    spec = ResizeSpec(24, 24, antialias=True)
+    errs = []
+
+    def build():
+        try:
+            ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
+            build_cache(ds, force=True)
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [threading.Thread(target=build) for _ in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
+    batch = ds.load_batch(list(range(len(ds))))
+    assert batch is not None
+    for i in range(len(ds)):
+        s = ds[i]
+        np.testing.assert_array_equal(batch["img"][i], s["img"])
+        np.testing.assert_array_equal(batch["mask"][i], s["mask"])
+        np.testing.assert_array_equal(batch["depth"][i], s["depth"])

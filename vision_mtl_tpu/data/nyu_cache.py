@@ -65,11 +65,26 @@ def _meta_for(ds: t.Any, shapes: t.Dict[str, tuple]) -> t.Dict[str, t.Any]:
 def build_cache(ds: t.Any, force: bool = False) -> str:
     """Decode every sample through the exact Python path and persist the
     prepared arrays. Idempotent: a valid existing cache is kept unless
-    ``force``. Returns the cache directory."""
+    ``force``. Concurrent builders (every process of a pod launch reaches
+    here under ``VMTL_BUILD_NYU_CACHE=1``; tuning threads construct datasets
+    too) are serialized by an ``flock`` — without it two writers truncate
+    each other's live ``.tmp`` memmaps and the torn arrays would still pass
+    the metadata-only validity probe. Returns the cache directory."""
+    from vision_mtl_tpu.utils.io import file_lock
+
     cdir = cache_dir_for(ds)
     if not force and cache_valid(ds):
         return cdir
     os.makedirs(cdir, exist_ok=True)
+    with file_lock(os.path.join(cdir, ".build.lock")):
+        return _build_cache_locked(ds, force, cdir)
+
+
+def _build_cache_locked(ds: t.Any, force: bool, cdir: str) -> str:
+    # revalidate under the lock: a concurrent builder may have finished
+    # (and published) while this process waited on the flock
+    if not force and cache_valid(ds):
+        return cdir
 
     first = ds.prepare_sample(ds.load_raw_sample(0), ds.transform)
     n = len(ds)
@@ -120,8 +135,9 @@ def build_cache(ds: t.Any, force: bool = False) -> str:
             os.path.join(cdir, f"{key}.npy.tmp"),
             os.path.join(cdir, f"{key}.npy"),
         )
-    with open(os.path.join(cdir, "meta.json"), "w") as f:
-        json.dump(_meta_for(ds, shapes), f)
+    from vision_mtl_tpu.utils.io import atomic_write_json
+
+    atomic_write_json(os.path.join(cdir, "meta.json"), _meta_for(ds, shapes))
     # a dataset that already probed for a cache (load_batch -> None) latched
     # the miss; reset so its next load_batch picks up the fresh cache
     # instead of silently staying on the ~60x slower per-sample path

@@ -53,6 +53,17 @@ def maybe_initialize_distributed() -> None:
     tpu_workers = env.get("TPU_WORKER_HOSTNAMES", "")
     auto = "MEGASCALE_COORDINATOR_ADDRESS" in env or "," in tpu_workers
     if coord is None and not auto:
+        if env.get("JAX_NUM_PROCESSES") or env.get("JAX_PROCESS_ID"):
+            # two-of-three launcher env IS a detected launch: falling back
+            # silently would run N independent single-process trainings
+            # (the corruption the docstring promises to raise on)
+            raise RuntimeError(
+                "multi-process launch detected (JAX_NUM_PROCESSES="
+                f"{env.get('JAX_NUM_PROCESSES')!r} / JAX_PROCESS_ID="
+                f"{env.get('JAX_PROCESS_ID')!r} set) but no coordinator "
+                "address; set JAX_COORDINATOR_ADDRESS (or "
+                "COORDINATOR_ADDRESS) in the launcher environment."
+            )
         return
     kwargs: t.Dict[str, t.Any] = {}
     if coord is not None:

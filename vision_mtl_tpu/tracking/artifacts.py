@@ -217,33 +217,17 @@ def register_run(
 
     Call on ONE process only under jax.distributed (training.main gates on
     process 0)."""
-    import fcntl
-    import json
-    import tempfile
+    from vision_mtl_tpu.utils.io import atomic_write_json, file_lock
 
     path = path or registry_path()
     key = key or model_name
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path + ".lock", "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
+    with file_lock(path + ".lock"):
         data = load_registry(path)
         data.setdefault(key, {})[dataset_name] = {
             "model_name": model_name,
             "run_dir": os.path.abspath(run_dir),
         }
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(path) or ".", suffix=".tmp"
-        )
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(data, f, indent=2, sort_keys=True)
-            os.replace(tmp, path)
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+        atomic_write_json(path, data, indent=2, sort_keys=True)
     return path
 
 

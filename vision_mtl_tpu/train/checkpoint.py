@@ -298,25 +298,17 @@ def save_preempt_ckpt(
     from vision_mtl_tpu.parallel.multihost import process_info_no_backend
 
     if process_info_no_backend()[0] == 0:
-        import json
-        import tempfile
+        from vision_mtl_tpu.utils.io import atomic_write_json
 
-        # atomic: this runs inside the eviction grace window — a SIGKILL
-        # between a truncating open and the flush would leave a corrupt
-        # sidecar that poisons every subsequent --auto_resume relaunch
-        fd, tmp = tempfile.mkstemp(dir=save_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(
-                    {"epoch": epoch, "batch_in_epoch": batch_in_epoch}, f
-                )
-            os.replace(tmp, os.path.join(save_dir, PREEMPT_META))
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+        # atomic + fsync'd: this runs inside the eviction grace window — a
+        # SIGKILL (or power loss) between a truncating open and the flush
+        # would leave a corrupt sidecar that poisons every subsequent
+        # --auto_resume relaunch
+        atomic_write_json(
+            os.path.join(save_dir, PREEMPT_META),
+            {"epoch": epoch, "batch_in_epoch": batch_in_epoch},
+            fsync=True,
+        )
     print(
         f"Preemption checkpoint saved to {model_path} "
         f"(epoch {epoch}, batch {batch_in_epoch})"

@@ -251,11 +251,11 @@ def _main(args) -> None:
         # epochs into a fresh version dir and must not clobber the good
         # entry with a checkpoint-less one.
         from vision_mtl_tpu.tracking.artifacts import register_run
+        from vision_mtl_tpu.train.checkpoint import _epochs
 
-        has_ckpt = any(
-            name.startswith("model_")
-            for name in os.listdir(logger.log_dir)
-        )
+        # real model_{N} Orbax artifacts only — a stray "model_*"-prefixed
+        # file must not count as a checkpoint
+        has_ckpt = bool(_epochs(logger.log_dir, "model"))
         if has_ckpt:
             reg = register_run(
                 args.model_name,
