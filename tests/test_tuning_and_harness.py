@@ -309,3 +309,32 @@ def test_harness_from_registry_empty_errors(tmp_path):
                 "--registry", str(tmp_path / "empty.json"),
             ]
         )
+
+
+def test_harness_device_flag_validated_before_work():
+    """The harness takes the training CLI's --device flag; a malformed spec
+    exits with select_backend's message before any registry/model work (and
+    without touching the jax backend)."""
+    import pytest
+
+    import vision_mtl_tpu.eval_harness as eh
+
+    with pytest.raises(SystemExit, match="cpu:N"):
+        eh.main(["--dataset_name", "synthetic", "--from_registry",
+                 "--device", "cpu:0"])
+
+
+def test_select_backend_noop_and_validation():
+    """Non-cpu specs keep the default backend (no-op); malformed cpu specs
+    raise before any backend mutation. The real cpu:N switch is exercised by
+    the subprocess CLI tests (test_preempt.py) — calling it in-process here
+    would clear_backends under the suite's live arrays."""
+    import pytest
+
+    from vision_mtl_tpu.utils.args import select_backend
+
+    select_backend("tpu")
+    select_backend("")
+    for bad in ("cpu:0", "cpu:abc", "cpu:-1"):
+        with pytest.raises(SystemExit, match="cpu:N"):
+            select_backend(bad)

@@ -18,6 +18,8 @@ selected, like the reference's regex pick, pipeline_utils.py:217-238).
 every finished training run publishes to (tracking/artifacts.py — the
 reference notebook's hardcoded run table, comet_utils.py:9-30), exactly
 how get_model_metrics.ipynb sweeps its 5 models per dataset.
+``--device cpu[:N]`` forces the host backend with N virtual devices, same
+as the training CLI (utils/args.select_backend).
 """
 
 from __future__ import annotations
@@ -127,6 +129,12 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
     p.add_argument("--dataset_name", default="cityscapes")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument(
+        "--device",
+        default="tpu",
+        help="'tpu' (default backend) or 'cpu[:N]' to force the host "
+        "backend with N virtual devices — same flag as the training CLI.",
+    )
+    p.add_argument(
         "--runs",
         nargs="+",
         default=None,
@@ -147,6 +155,9 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
     args = p.parse_args(argv)
     if bool(args.runs) == bool(args.from_registry):
         raise SystemExit("pass exactly one of --runs / --from_registry")
+    from vision_mtl_tpu.utils.args import select_backend
+
+    select_backend(args.device)
 
     todo: t.List[t.Tuple[str, str, str]] = []  # (tag, model_name, ckpt_dir)
     if args.from_registry:

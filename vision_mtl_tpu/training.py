@@ -17,7 +17,7 @@ from vision_mtl_tpu.parallel.mesh import create_mesh
 from vision_mtl_tpu.pipeline import create_main_components, create_tools
 from vision_mtl_tpu.predict import predict, save_preds
 from vision_mtl_tpu.train.loop import run_pipe
-from vision_mtl_tpu.utils.args import parse_args, update_args
+from vision_mtl_tpu.utils.args import parse_args, select_backend, update_args
 
 
 def _setup_compile_cache() -> None:
@@ -31,33 +31,6 @@ def _setup_compile_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
-
-
-def _select_backend(device: str) -> None:
-    """Honor --device (reference utils/utils.py:19 selects cuda/cpu; here it
-    selects the jax platform). ``cpu[:N]`` forces the host backend with N
-    virtual devices (default 1) — needed because a site hook may pin a
-    remote-TPU platform at startup, so env vars alone are ignored."""
-    if not device or not device.startswith("cpu"):
-        return  # default backend (tpu if attached)
-    n = 1
-    if ":" in device:
-        spec = device.split(":", 1)[1]
-        if not spec.isdigit() or int(spec) < 1:
-            raise SystemExit(
-                f"--device {device!r}: expected 'cpu' or 'cpu:N' with N >= 1"
-            )
-        n = int(spec)
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
-    from jax.extend.backend import clear_backends
-
-    clear_backends()
-    jax.config.update("jax_num_cpu_devices", n)
-    jax.config.update("jax_platforms", "cpu")
 
 
 def main(argv=None) -> None:
@@ -95,7 +68,7 @@ def main(argv=None) -> None:
 
 def _main(args) -> None:
     cfg.update_fields_with_args(args)
-    _select_backend(args.device)
+    select_backend(args.device)
     _setup_compile_cache()
 
     data_cfg = fetch_data_cfg(args.dataset_name)

@@ -175,3 +175,38 @@ def update_args(
         assert hasattr(args, k), k
         setattr(args, k, v)
     return args
+
+
+def select_backend(device: str) -> None:
+    """Honor a ``--device`` flag (reference utils/utils.py:19 selects
+    cuda/cpu; here it selects the jax platform). ``cpu[:N]`` forces the host
+    backend with N virtual devices (default 1) — needed because a site hook
+    may pin a remote-TPU platform at startup, so env vars alone are ignored.
+    Anything else keeps the default backend (tpu when attached).
+
+    Shared by the training CLI and the eval harness. jax is imported lazily
+    so this module stays import-time jax-free (training.main must parse args
+    before the pod rendezvous touches the backend)."""
+    if not device or not device.startswith("cpu"):
+        return  # default backend (tpu if attached)
+    n = 1
+    if ":" in device:
+        spec = device.split(":", 1)[1]
+        if not spec.isdigit() or int(spec) < 1:
+            raise SystemExit(
+                f"--device {device!r}: expected 'cpu' or 'cpu:N' with N >= 1"
+            )
+        n = int(spec)
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    import jax
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+    jax.config.update("jax_num_cpu_devices", n)
+    jax.config.update("jax_platforms", "cpu")
