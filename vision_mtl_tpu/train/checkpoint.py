@@ -201,11 +201,57 @@ def load_ckpt_session(
     return _checkpointer().restore(path, target)
 
 
+def _maybe_reference_torch_ckpt(
+    ckpt_dir: str, epoch: t.Optional[int]
+) -> t.Optional[str]:
+    """Path to a reference-format torch ``model_{e}.pt`` when ``ckpt_dir``
+    holds one (and no Orbax artifacts, which always win), else None. Accepts
+    a direct ``*.pt`` file path too — so ``--ckpt_dir`` and the eval harness
+    consume reference-trained run dirs as-is (docs/MIGRATION.md)."""
+    from vision_mtl_tpu.utils.ckpt_import import find_reference_checkpoint
+
+    if os.path.isfile(ckpt_dir) and ckpt_dir.endswith(".pt"):
+        return ckpt_dir
+    if not os.path.isdir(ckpt_dir) or _epochs(ckpt_dir, "model"):
+        return None
+    if epoch is not None:
+        path = os.path.join(ckpt_dir, f"model_{epoch}.pt")
+        return path if os.path.isfile(path) else None
+    return find_reference_checkpoint(ckpt_dir)
+
+
 def restore_state(
     state: TrainState, ckpt_dir: str, epoch: t.Optional[int] = None
 ) -> TrainState:
     """Warm-start params/batch_stats into an existing state
-    (reference init_model --ckpt_dir path, pipeline_utils.py:28-29)."""
+    (reference init_model --ckpt_dir path, pipeline_utils.py:28-29).
+
+    Also accepts the REFERENCE's own torch checkpoints (``model_{e}.pt``
+    state_dicts): when the dir holds those instead of Orbax artifacts, the
+    full-checkpoint importer (utils/ckpt_import.py) converts them exactly —
+    a reference user's trained runs stay usable after migrating."""
+    ref_pt = _maybe_reference_torch_ckpt(ckpt_dir, epoch)
+    if ref_pt is not None:
+        from vision_mtl_tpu.utils.ckpt_import import (
+            import_reference_checkpoint,
+            infer_reference_model_name,
+        )
+        from vision_mtl_tpu.utils.torch_port import load_state_dict_file
+
+        sd = load_state_dict_file(ref_pt)
+        name = infer_reference_model_name(sd)
+        print(f"Importing reference torch checkpoint {ref_pt} ({name})")
+        variables = import_reference_checkpoint(
+            name,
+            sd,
+            {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            },
+        )
+        return state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
     restored = load_ckpt_model(ckpt_dir, epoch)
     params = _cast_into(
         jax.device_get(state.params), restored["params"], "checkpoint/model"
