@@ -599,15 +599,17 @@ def test_restore_state_from_reference_torch_dir(tmp_path):
     tasks = {"depth": 1, "segm": 5}
     replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16).eval()
     _randomize_module(replica, rng)
-    torch.save(replica.state_dict(), tmp_path / "model_2.pt")
+    # the reference's actual save format wraps the state_dict ({"model": sd},
+    # pipeline_utils.py:150-155)
+    torch.save({"model": replica.state_dict()}, tmp_path / "model_2.pt")
     # a decoy older epoch with different weights: epoch selection must pick 2
     _randomize_module(replica, np.random.default_rng(999))
-    torch.save(replica.state_dict(), tmp_path / "model_1.pt")
+    torch.save({"model": replica.state_dict()}, tmp_path / "model_1.pt")
     sd2 = {
         k: v.numpy()
-        for k, v in torch.load(
-            tmp_path / "model_2.pt", map_location="cpu"
-        ).items()
+        for k, v in torch.load(tmp_path / "model_2.pt", map_location="cpu")[
+            "model"
+        ].items()
     }
 
     model = MTANMiniUnet(
@@ -629,6 +631,149 @@ def test_restore_state_from_reference_torch_dir(tmp_path):
         jax.tree.leaves(state.params), jax.tree.leaves(expected["params"])
     ):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_restore_session_from_reference_torch_pair(tmp_path):
+    """Continue-training migration: the reference's model_{e}.pt +
+    session_{e}.pt pair resumes here with the exact Adam moments, lr,
+    plateau scheduler state and epoch (reference save_ckpt,
+    pipeline_utils.py:150-163)."""
+    from vision_mtl_tpu.train.checkpoint import restore_session
+    from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
+    from vision_mtl_tpu.train.state import create_train_state, get_lr
+    from vision_mtl_tpu.utils.ckpt_import import _convt_kernel
+    import optax
+
+    rng = np.random.default_rng(43)
+    tasks = {"depth": 1, "segm": 5}
+    replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16).train()
+    _randomize_module(replica, rng)
+
+    opt = torch.optim.Adam(replica.parameters(), lr=5e-4)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, patience=2, factor=0.9
+    )
+    x = torch.from_numpy(
+        rng.uniform(size=(1, 3, 32, 48)).astype(np.float32)
+    )
+    for _ in range(3):
+        opt.zero_grad()
+        out = replica(x)
+        (out["depth"].square().mean() + out["segm"].square().mean()).backward()
+        opt.step()
+    sched.step(1.0)
+    sched.step(2.0)  # worse -> num_bad_epochs becomes 1
+
+    # reference save format (pipeline_utils.py:150-163)
+    torch.save({"model": replica.state_dict()}, tmp_path / "model_4.pt")
+    torch.save(
+        {
+            "optimizer": opt.state_dict(),
+            "scheduler": sched.state_dict(),
+            "epoch": 4,
+        },
+        tmp_path / "session_4.pt",
+    )
+
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels=tasks,
+        task_subnets_hidden_channels=16,
+        encoder_first_channel=8,
+        encoder_num_channels=4,
+        dtype=jnp.float32,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 48, 3)), lr=1e-3
+    )
+    scheduler = ReduceLROnPlateau(patience=5, factor=0.5)
+    state, scheduler, start_epoch = restore_session(
+        state, scheduler, str(tmp_path)
+    )
+
+    assert start_epoch == 5
+    assert int(state.step) == 3
+    assert abs(get_lr(state) - 5e-4) < 1e-9
+    assert scheduler.patience == 2 and abs(scheduler.factor - 0.9) < 1e-9
+    assert scheduler.num_bad_epochs == 1 and abs(scheduler.best - 1.0) < 1e-9
+
+    # moments landed on the right leaves with the weight's own transform:
+    # check a ConvTranspose kernel (the flip+transpose case) and its count
+    adam = [
+        s
+        for s in jax.tree_util.tree_leaves(
+            state.opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert len(adam) == 1
+    torch_mu = opt.state_dict()["state"]
+    order = [
+        k
+        for k in replica.state_dict()
+        if not any(
+            k.endswith(s)
+            for s in (".running_mean", ".running_var", ".num_batches_tracked")
+        )
+    ]
+    idx = order.index("dec_layers.0.up.weight")
+    np.testing.assert_allclose(
+        np.asarray(adam[0].mu["dec_up_0"]["kernel"]),
+        _convt_kernel(torch_mu[idx]["exp_avg"].numpy()),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(adam[0].nu["dec_up_0"]["kernel"]),
+        _convt_kernel(torch_mu[idx]["exp_avg_sq"].numpy()),
+        rtol=1e-6,
+    )
+
+
+def test_optax_adam_matches_torch_update():
+    """Given equal params/moments/count/grad, one optax.adam step equals one
+    torch Adam step — the contract the session import relies on."""
+    import optax
+
+    rng = np.random.default_rng(3)
+    p0 = rng.normal(size=(4, 3)).astype(np.float32)
+    g = rng.normal(size=(4, 3)).astype(np.float32)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.Adam([tp], lr=1e-3)
+    # preload torch moments via two warmup steps with recorded grads
+    warm = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(2)]
+    for w in warm:
+        opt.zero_grad()
+        tp.grad = torch.from_numpy(w.copy())
+        opt.step()
+    st = opt.state_dict()["state"][0]
+
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    ostate = tx.init(jnp.asarray(tp.detach().numpy()))
+
+    def preload(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(
+                count=jnp.asarray(
+                    int(np.asarray(st["step"])), node.count.dtype
+                ),
+                mu=jnp.asarray(st["exp_avg"].numpy()),
+                nu=jnp.asarray(st["exp_avg_sq"].numpy()),
+            )
+        return node
+
+    ostate = jax.tree_util.tree_map(
+        preload,
+        ostate,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+    )
+    params = jnp.asarray(tp.detach().numpy())
+    updates, _ = tx.update(jnp.asarray(g), ostate, params)
+    jres = np.asarray(optax.apply_updates(params, updates))
+
+    tp.grad = torch.from_numpy(g.copy())
+    opt.step()
+    np.testing.assert_allclose(jres, tp.detach().numpy(), rtol=1e-5, atol=1e-7)
 
 
 def test_find_reference_checkpoint(tmp_path):

@@ -276,7 +276,31 @@ def restore_session(
     The reference only warm-starts model weights (pipeline_utils.py:28-29);
     exact-resume is a production addition (dual artifacts already carry the
     session, reference save_ckpt:156-163).
-    """
+
+    Also resumes from the REFERENCE's torch artifact pair
+    (``model_{e}.pt`` + ``session_{e}.pt``): weights, Adam moments, lr,
+    plateau state and epoch all import exactly (utils/ckpt_import.py), so a
+    reference-trained run continues here mid-training."""
+    ref_pt = _maybe_reference_torch_ckpt(ckpt_dir, epoch)
+    if ref_pt is not None:
+        sess_pt = os.path.join(
+            os.path.dirname(ref_pt),
+            os.path.basename(ref_pt).replace("model_", "session_"),
+        )
+        if os.path.isfile(sess_pt):
+            import torch  # reference artifacts are torch pickles
+
+            from vision_mtl_tpu.utils.ckpt_import import (
+                import_reference_session,
+            )
+            from vision_mtl_tpu.utils.torch_port import load_state_dict_file
+
+            state = restore_state(state, ref_pt)
+            print(f"Importing reference torch session {sess_pt}")
+            session_sd = torch.load(sess_pt, map_location="cpu")
+            return import_reference_session(
+                load_state_dict_file(ref_pt), session_sd, state, scheduler
+            )
     if epoch is None:
         wait_for_saves()
         epoch = _latest_common_epoch(ckpt_dir)

@@ -443,6 +443,121 @@ def import_reference_checkpoint(
     return new_vars
 
 
+_BUFFER_SUFFIXES = (".running_mean", ".running_var", ".num_batches_tracked")
+
+
+def reference_param_order(model_sd: t.Mapping[str, np.ndarray]) -> t.List[str]:
+    """The reference's ``model.parameters()`` order, recovered from its
+    state_dict: state_dict preserves registration order and interleaves only
+    the BN buffers, so the param-typed keys in file order ARE the parameter
+    order — which is how torch optimizer state_dicts index their per-param
+    state (integer ids in ``param_groups[0]["params"]`` order)."""
+    return [
+        k
+        for k in model_sd
+        if not any(k.endswith(s) for s in _BUFFER_SUFFIXES)
+    ]
+
+
+def import_reference_session(
+    model_sd: t.Mapping[str, np.ndarray],
+    session_sd: t.Mapping[str, t.Any],
+    state: t.Any,
+    scheduler: t.Any,
+) -> t.Tuple[t.Any, t.Any, int]:
+    """Import the reference's ``session_{e}.pt`` (torch Adam moments +
+    ReduceLROnPlateau state + epoch — reference utils/pipeline_utils.py:
+    156-163) into a TrainState/scheduler pair, so a reference-trained run
+    CONTINUES here with the exact optimizer trajectory.
+
+    The per-weight moment layout transforms are the same linear reorderings
+    as the weights themselves (Adam is elementwise), so the moments are
+    converted by feeding them through the same architecture converter.
+    torch Adam and ``optax.adam`` share the update rule (betas/eps/bias
+    correction; ``m_hat / (sqrt(v_hat) + eps)``), so equal moments + equal
+    count give an identical next step.
+
+    Returns ``(state, scheduler, start_epoch)`` like
+    ``train.checkpoint.restore_session``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    name = infer_reference_model_name(model_sd)
+    order = reference_param_order(model_sd)
+    opt = session_sd["optimizer"]
+    osd = opt["state"]
+    groups = opt.get("param_groups", [])
+    idxs = (
+        list(groups[0]["params"]) if groups else sorted(int(i) for i in osd)
+    )
+    if len(idxs) != len(order):
+        raise ValueError(
+            f"optimizer state has {len(idxs)} params but the model "
+            f"state_dict implies {len(order)} — model/session mismatch"
+        )
+
+    def moment_sd(field: str) -> t.Dict[str, np.ndarray]:
+        # moments for every param key + the real BN buffers (the converter
+        # consumes them into a batch_stats tree, discarded below)
+        out = {
+            k: np.asarray(v)
+            for k, v in model_sd.items()
+            if any(k.endswith(s) for s in _BUFFER_SUFFIXES)
+        }
+        for pos, idx in enumerate(idxs):
+            entry = osd[idx if idx in osd else str(idx)]
+            out[order[pos]] = np.asarray(entry[field])
+        return out
+
+    mu_tree, _, rec_mu = _CONVERTERS[name](moment_sd("exp_avg"))
+    nu_tree, _, rec_nu = _CONVERTERS[name](moment_sd("exp_avg_sq"))
+    if rec_mu.missing or rec_nu.missing:
+        raise ValueError(
+            "session import could not map optimizer moments: missing "
+            + ", ".join((rec_mu.missing + rec_nu.missing)[:10])
+        )
+    steps = [
+        int(np.asarray(osd[i if i in osd else str(i)]["step"])) for i in idxs
+    ]
+    count = max(steps) if steps else 0
+
+    def replace_adam(node: t.Any) -> t.Any:
+        if isinstance(node, optax.ScaleByAdamState):
+            mu = jax.tree.map(
+                lambda ref, v: jnp.asarray(v, ref.dtype), node.mu, mu_tree
+            )
+            nu = jax.tree.map(
+                lambda ref, v: jnp.asarray(v, ref.dtype), node.nu, nu_tree
+            )
+            return node._replace(
+                count=jnp.asarray(count, node.count.dtype), mu=mu, nu=nu
+            )
+        return node
+
+    opt_state = jax.tree_util.tree_map(
+        replace_adam,
+        state.opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+    )
+    state = state.replace(opt_state=opt_state, step=count)
+    if groups and "lr" in groups[0]:
+        from vision_mtl_tpu.train.state import set_lr
+
+        state = set_lr(state, float(groups[0]["lr"]))
+
+    sch = session_sd.get("scheduler") or {}
+    mapped = {
+        k: sch[k]
+        for k in ("patience", "factor", "threshold", "best", "num_bad_epochs")
+        if k in sch
+    }
+    if "min_lrs" in sch and sch["min_lrs"]:
+        mapped["min_lr"] = sch["min_lrs"][0]
+    scheduler.load_state_dict(mapped)
+    return state, scheduler, int(session_sd.get("epoch", 0)) + 1
+
+
 def infer_reference_model_name(sd: t.Mapping[str, t.Any]) -> str:
     """Which reference architecture produced this state_dict. The three
     layouts have disjoint roots (basic_model.py:23-41 ``backbone``/heads;

@@ -115,8 +115,12 @@ def load_state_dict_file(path: str) -> t.Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu")
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    # unwrap common containers: lightning-style {"state_dict": ...} and the
+    # reference's own save format {"model": state_dict} (reference
+    # utils/pipeline_utils.py:150-155)
+    for wrapper in ("state_dict", "model"):
+        if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
 
 
