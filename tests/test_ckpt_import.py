@@ -641,7 +641,9 @@ def test_restore_session_from_reference_torch_pair(tmp_path):
     from vision_mtl_tpu.train.checkpoint import restore_session
     from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
     from vision_mtl_tpu.train.state import create_train_state, get_lr
-    from vision_mtl_tpu.utils.ckpt_import import _convt_kernel
+    from vision_mtl_tpu.utils.ckpt_import import _FWD
+
+    _convt_kernel = _FWD["convt"]
     import optax
 
     rng = np.random.default_rng(43)
@@ -725,6 +727,160 @@ def test_restore_session_from_reference_torch_pair(tmp_path):
     np.testing.assert_allclose(
         np.asarray(adam[0].nu["dec_up_0"]["kernel"]),
         _convt_kernel(torch_mu[idx]["exp_avg_sq"].numpy()),
+        rtol=1e-6,
+    )
+
+
+# ------------------------------------------------------------------ export
+def _models_for_roundtrip():
+    return {
+        "basic": (
+            BasicMTLModel(
+                segm_classes=5, decoder_first_channel=32, dtype=jnp.float32
+            ),
+            (1, 64, 96, 3),
+        ),
+        "mtan": (
+            MTANMiniUnet(
+                map_tasks_to_num_channels={"depth": 1, "segm": 5},
+                task_subnets_hidden_channels=16,
+                encoder_first_channel=8,
+                encoder_num_channels=4,
+                dtype=jnp.float32,
+            ),
+            (1, 32, 48, 3),
+        ),
+        "csnet": (
+            CSNet(
+                task_channels={"depth": 1, "segm": 5},
+                decoder_first_channel=32,
+                channel_wise_stitching=True,
+                dtype=jnp.float32,
+            ),
+            (1, 64, 96, 3),
+        ),
+    }
+
+
+@pytest.mark.parametrize("name", ["basic", "mtan", "csnet"])
+def test_export_import_roundtrip(name):
+    """export -> import is the identity on every param and BN stat: import
+    and export derive from the same declarative mapping, so this pins both
+    directions (and every layout transform's inverse) at once."""
+    from vision_mtl_tpu.utils.ckpt_import import export_reference_checkpoint
+
+    model, shape = _models_for_roundtrip()[name]
+    rng = np.random.default_rng(57)
+    base = _zeros_variables(model, np.zeros(shape, np.float32))
+    variables = jax.tree.map(
+        lambda z: jnp.asarray(
+            rng.normal(scale=0.5, size=z.shape).astype(np.float32)
+        ),
+        base,
+    )
+    sd = export_reference_checkpoint(name, variables)
+    back = import_reference_checkpoint(name, sd, base)
+    for col in ("params", "batch_stats"):
+        for got, want in zip(
+            jax.tree.leaves(back[col]), jax.tree.leaves(variables[col])
+        ):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_export_loads_into_torch_replica_strict():
+    """Exported MTAN checkpoints satisfy torch's own strict load_state_dict
+    against a module with the reference's attribute layout, and the torch
+    forward then matches the flax forward — the train-on-TPU, deploy-in-torch
+    path."""
+    from vision_mtl_tpu.utils.ckpt_import import export_reference_checkpoint
+
+    rng = np.random.default_rng(59)
+    tasks = {"depth": 1, "segm": 5}
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels=tasks,
+        task_subnets_hidden_channels=16,
+        encoder_first_channel=8,
+        encoder_num_channels=4,
+        dtype=jnp.float32,
+    )
+    x = rng.uniform(size=(1, 32, 48, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(3), jnp.asarray(x), train=False)
+    from tests.test_mtan_csnet_parity import _randomize_bn
+
+    variables = _randomize_bn(
+        {
+            "params": jax.device_get(variables["params"]),
+            "batch_stats": jax.device_get(variables["batch_stats"]),
+        },
+        rng,
+    )
+    sd = export_reference_checkpoint("mtan", variables)
+
+    replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16).eval()
+    replica.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+        strict=True,
+    )
+    out = model.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        tout = replica(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for k in tasks:
+        np.testing.assert_allclose(
+            np.asarray(out[k]),
+            tout[k].numpy().transpose(0, 2, 3, 1),
+            rtol=2e-3,
+            atol=1e-4,
+        )
+
+
+def test_export_script_from_orbax_run_dir(tmp_path):
+    """scripts/export_torch_ckpt.py: an Orbax run dir trained here exports
+    to a torch .pt that strict-loads into the reference-layout module."""
+    import argparse
+    import importlib.util
+
+    from vision_mtl_tpu.train.checkpoint import log_args, save_ckpt
+    from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
+    from vision_mtl_tpu.train.state import create_train_state
+
+    tasks = {"depth": 1, "segm": 5}
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels=tasks,
+        task_subnets_hidden_channels=16,
+        encoder_first_channel=8,
+        encoder_num_channels=4,
+        dtype=jnp.float32,
+    )
+    state = create_train_state(
+        model, jax.random.key(5), jnp.zeros((1, 32, 48, 3)), lr=1e-3
+    )
+    save_ckpt(state, ReduceLROnPlateau(), 0, str(tmp_path))
+    log_args(
+        argparse.Namespace(model_name="mtan", dataset_name="synthetic"),
+        str(tmp_path / "train_args.yaml"),
+    )
+
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "export_torch_ckpt",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(__file__)),
+            "scripts",
+            "export_torch_ckpt.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main([str(tmp_path)])
+    assert out.endswith("model_0.pt")
+
+    replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16)
+    sd = torch.load(out, map_location="cpu")["model"]
+    replica.load_state_dict(sd, strict=True)
+    np.testing.assert_allclose(
+        sd["map_tasks_to_heads.segm.weight"].numpy()[:, :, 0, 0],
+        np.asarray(state.params["head_segm"]["Conv_0"]["kernel"])[0, 0].T,
         rtol=1e-6,
     )
 

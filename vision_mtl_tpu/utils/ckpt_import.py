@@ -1,10 +1,18 @@
-"""Full reference-checkpoint import: torch ``model_{epoch}.pt`` → Flax.
+"""Full reference-checkpoint interop: torch ``model_{epoch}.pt`` ⇄ Flax.
 
 ``utils/torch_port.py`` ports the imagenet *encoder* (the "(P)" configs);
-this module imports COMPLETE reference-trained checkpoints — every weight
-and BN running stat of all three architectures — so a user migrating from
-the reference can evaluate, serve, or warm-start from checkpoints they
-already trained, without retraining (docs/MIGRATION.md).
+this module converts COMPLETE reference-trained checkpoints — every weight
+and BN running stat of all three architectures — in BOTH directions, so a
+user migrating from the reference can evaluate, serve, warm-start, or
+continue-train runs they already have (docs/MIGRATION.md), and can export
+runs trained here back into the reference's torch format for an existing
+torch serving stack.
+
+Each architecture's layout is ONE declarative mapping — a list of
+``(torch_key, collection, flax_path, transform)`` entries — from which
+import (apply) and export (invert) both derive, so the two directions
+cannot drift; round-trip identity is tested per architecture
+(tests/test_ckpt_import.py).
 
 Source layouts (state_dict key schemas), cited to the code that defines
 them:
@@ -38,13 +46,16 @@ pinned to segmentation-models-pytorch==0.3.3 (reference requirements.txt:14)
 and cannot be re-verified in this container (no smp install); the importer
 therefore VERIFIES the key set it consumed against the checkpoint and fails
 with an explicit missing/unused diff instead of mis-assigning silently.
+Exports cover every key the reference's FORWARD path consumes; a real smp
+encoder may carry extra classifier-tail params, so load exported dicts with
+``strict=False`` on the torch side (extra/missing classifier keys only).
 
 Dtype/layout transforms: conv OIHW→HWIO; ConvTranspose (in,out,kh,kw) →
 flip(kh,kw)→(kh,kw,in,out) (flax's lax.conv_transpose does not flip the
 kernel while torch's does — tests/test_mtan_csnet_parity.py:43-49); 1x1
 gate convs → (in,out) matmul weights (models/mtan.GateChain); BN
 weight/bias→scale/bias, running_mean/var→batch_stats (num_batches_tracked
-ignored).
+ignored on import, emitted as 0 on export).
 """
 
 from __future__ import annotations
@@ -55,11 +66,271 @@ import numpy as np
 
 from vision_mtl_tpu.utils.torch_port import (
     Tree,
-    _conv_kernel,
     _set,
-    convert_encoder_state_dict,
     load_state_dict_file,
 )
+
+# ----------------------------------------------------------- entry machinery
+
+# (torch_key, collection "params"|"batch_stats", flax path, transform kind)
+Entry = t.Tuple[str, str, t.Tuple[str, ...], str]
+
+_FWD: t.Dict[str, t.Callable[[np.ndarray], np.ndarray]] = {
+    # torch OIHW conv kernel -> flax HWIO
+    "conv": lambda w: np.transpose(w, (2, 3, 1, 0)),
+    # torch ConvTranspose2d (in,out,kh,kw) -> flax (kh,kw,in,out), spatial
+    # dims flipped (flax does not flip the kernel; torch does)
+    "convt": lambda w: np.flip(np.transpose(w, (2, 3, 0, 1)), axis=(0, 1)).copy(),
+    # torch 1x1 conv (out,in,1,1) -> GateChain matmul weight (in,out)
+    "gate_w": lambda w: np.transpose(w[:, :, 0, 0], (1, 0)),
+    "direct": lambda w: np.asarray(w),
+}
+
+_INV: t.Dict[str, t.Callable[[np.ndarray], np.ndarray]] = {
+    "conv": lambda k: np.transpose(k, (3, 2, 0, 1)),
+    "convt": lambda k: np.transpose(np.flip(k, axis=(0, 1)), (2, 3, 0, 1)).copy(),
+    "gate_w": lambda k: np.transpose(k, (1, 0))[:, :, None, None].copy(),
+    "direct": lambda k: np.asarray(k),
+}
+
+
+def _bn_entries(tp: str, path: t.Sequence[str]) -> t.List[Entry]:
+    p = tuple(path)
+    return [
+        (f"{tp}.weight", "params", p + ("scale",), "direct"),
+        (f"{tp}.bias", "params", p + ("bias",), "direct"),
+        (f"{tp}.running_mean", "batch_stats", p + ("mean",), "direct"),
+        (f"{tp}.running_var", "batch_stats", p + ("var",), "direct"),
+    ]
+
+
+def _conv_entries(
+    tp: str, path: t.Sequence[str], bias: bool, kind: str = "conv"
+) -> t.List[Entry]:
+    p = tuple(path)
+    out: t.List[Entry] = [(f"{tp}.weight", "params", p + ("kernel",), kind)]
+    if bias:
+        out.append((f"{tp}.bias", "params", p + ("bias",), "direct"))
+    return out
+
+
+def _dconv_entries(tp: str, path: t.Sequence[str]) -> t.List[Entry]:
+    """Reference DoubleConv (model_utils.py:61-80): Sequential indices
+    0/3 = bias-free conv3x3, 1/4 = BN -> our DoubleConv's ConvBNAct_{0,1}."""
+    out: t.List[Entry] = []
+    for j, (ci, bi) in enumerate(((0, 1), (3, 4))):
+        base = tuple(path) + (f"ConvBNAct_{j}",)
+        out += _conv_entries(
+            f"{tp}.double_conv.{ci}", base + ("Conv_0", "Conv_0"), bias=False
+        )
+        out += _bn_entries(
+            f"{tp}.double_conv.{bi}", base + ("BatchNorm_0", "BatchNorm_0")
+        )
+    return out
+
+
+def _smp_decoder_block_entries(
+    tp: str, path: t.Sequence[str]
+) -> t.List[Entry]:
+    """One smp 0.3.3 DecoderBlock: conv1/conv2 are Conv2dReLU =
+    Sequential(conv-bias-free, bn, relu); attention1/2 are parameter-free
+    Identity under the reference's default config."""
+    out: t.List[Entry] = []
+    for j in range(2):
+        base = tuple(path) + (f"ConvBNAct_{j}",)
+        out += _conv_entries(
+            f"{tp}.conv{j + 1}.0", base + ("Conv_0", "Conv_0"), bias=False
+        )
+        out += _bn_entries(
+            f"{tp}.conv{j + 1}.1", base + ("BatchNorm_0", "BatchNorm_0")
+        )
+    return out
+
+
+def _gate_chain_entries(tp: str, path: t.Sequence[str]) -> t.List[Entry]:
+    """Reference attention-gate pair conv1/bn1 + conv2/bn2 (both 1x1, with
+    bias) -> GateChain's explicit w/b/scale/bias params + mean/var stats."""
+    p = tuple(path)
+    out: t.List[Entry] = []
+    for n in (1, 2):
+        out += [
+            (f"{tp}.conv{n}.weight", "params", p + (f"w{n}",), "gate_w"),
+            (f"{tp}.conv{n}.bias", "params", p + (f"b{n}",), "direct"),
+            (f"{tp}.bn{n}.weight", "params", p + (f"scale{n}",), "direct"),
+            (f"{tp}.bn{n}.bias", "params", p + (f"bias{n}",), "direct"),
+            (f"{tp}.bn{n}.running_mean", "batch_stats", p + (f"mean{n}",), "direct"),
+            (f"{tp}.bn{n}.running_var", "batch_stats", p + (f"var{n}",), "direct"),
+        ]
+    return out
+
+
+def _mobilenetv3_entries(tp: str, base: t.Sequence[str]) -> t.List[Entry]:
+    """timm mobilenetv3_large_100 feature path -> models/mobilenetv3
+    MobileNetV3Encoder (same walk as torch_port.convert_encoder_state_dict,
+    whose numerics the torch-parity tests pin)."""
+    from vision_mtl_tpu.models.mobilenetv3 import MOBILENETV3_LARGE_SPECS
+
+    b = tuple(base)
+    out: t.List[Entry] = []
+    out += _conv_entries(f"{tp}.conv_stem", b + ("conv_stem", "Conv_0"), False)
+    out += _bn_entries(f"{tp}.bn1", b + ("_stem_bn",))
+    for si, stage in enumerate(MOBILENETV3_LARGE_SPECS):
+        for bi, spec in enumerate(stage):
+            tpb = f"{tp}.blocks.{si}.{bi}"
+            fp = b + (f"stages_{si}_{bi}",)
+            if spec.ds:
+                out += _conv_entries(f"{tpb}.conv_dw", fp + ("Conv_0", "Conv_0"), False)
+                out += _bn_entries(f"{tpb}.bn1", fp + ("BatchNorm_0", "BatchNorm_0"))
+                out += _conv_entries(f"{tpb}.conv_pw", fp + ("Conv_1", "Conv_0"), False)
+                out += _bn_entries(f"{tpb}.bn2", fp + ("BatchNorm_1", "BatchNorm_0"))
+            else:
+                out += _conv_entries(f"{tpb}.conv_pw", fp + ("Conv_0", "Conv_0"), False)
+                out += _bn_entries(f"{tpb}.bn1", fp + ("BatchNorm_0", "BatchNorm_0"))
+                out += _conv_entries(f"{tpb}.conv_dw", fp + ("Conv_1", "Conv_0"), False)
+                out += _bn_entries(f"{tpb}.bn2", fp + ("BatchNorm_1", "BatchNorm_0"))
+                if spec.se:
+                    out += _conv_entries(
+                        f"{tpb}.se.conv_reduce",
+                        fp + ("SqueezeExcite_0", "Conv_0", "Conv_0"),
+                        bias=True,
+                    )
+                    out += _conv_entries(
+                        f"{tpb}.se.conv_expand",
+                        fp + ("SqueezeExcite_0", "Conv_1", "Conv_0"),
+                        bias=True,
+                    )
+                out += _conv_entries(f"{tpb}.conv_pwl", fp + ("Conv_2", "Conv_0"), False)
+                out += _bn_entries(f"{tpb}.bn3", fp + ("BatchNorm_2", "BatchNorm_0"))
+    # timm blocks.6.0 (ConvBnAct) is the encoder's conv head
+    out += _conv_entries(
+        f"{tp}.blocks.6.0.conv", b + ("conv_head", "Conv_0"), False
+    )
+    out += _bn_entries(f"{tp}.blocks.6.0.bn1", b + ("_head_bn",))
+    return out
+
+
+# --------------------------------------------------------- per-model mappings
+def _basic_mapping(num_decoder_layers: int = 5) -> t.List[Entry]:
+    out = _mobilenetv3_entries(
+        "backbone.encoder.model", ("backbone", "encoder")
+    )
+    for i in range(num_decoder_layers):
+        out += _smp_decoder_block_entries(
+            f"backbone.decoder.blocks.{i}",
+            ("backbone", "decoder", f"block_{i}"),
+        )
+    for head in ("segm_head", "depth_head"):
+        out += _conv_entries(f"{head}.0", (head, "Conv_0", "Conv_0"), bias=True)
+    return out
+
+
+def _mtan_mapping(
+    task_names: t.Sequence[str] = ("depth", "segm"),
+    encoder_num_channels: int = 4,
+) -> t.List[Entry]:
+    out: t.List[Entry] = []
+
+    def attn_enc(tm: str, fm: str) -> t.List[Entry]:
+        # AttentionModuleEncoder (mtan_model.py:12-83): gate pair, then
+        # conv3/bn3 = the 3x3 output conv (conv3 has bias)
+        e = _gate_chain_entries(tm, (fm, "GateChain_0"))
+        e += _conv_entries(f"{tm}.conv3", (fm, "Conv_0", "Conv_0"), bias=True)
+        e += _bn_entries(f"{tm}.bn3", (fm, "BatchNorm_0", "BatchNorm_0"))
+        return e
+
+    def attn_dec(tm: str, fm: str) -> t.List[Entry]:
+        # AttentionModuleDecoder (mtan_model.py:86-169): conv3/bn3 is the
+        # PREV-stream 3x3 conv (our Conv_0/BatchNorm_0 — the first modules
+        # created in models/mtan.AttentionModuleDecoder), conv1/bn1+conv2/
+        # bn2 the gate chain, conv_out/bn_out the 3x3 output conv
+        e = _conv_entries(f"{tm}.conv3", (fm, "Conv_0", "Conv_0"), bias=True)
+        e += _bn_entries(f"{tm}.bn3", (fm, "BatchNorm_0", "BatchNorm_0"))
+        e += _gate_chain_entries(tm, (fm, "GateChain_0"))
+        e += _conv_entries(f"{tm}.conv_out", (fm, "Conv_1", "Conv_0"), bias=True)
+        e += _bn_entries(f"{tm}.bn_out", (fm, "BatchNorm_1", "BatchNorm_0"))
+        return e
+
+    for i in range(encoder_num_channels):
+        out += _dconv_entries(f"enc_layers.{i}.dconv", (f"enc_dconv_{i}",))
+        for ti in range(len(task_names)):
+            out += attn_enc(
+                f"enc_layers.{i}.task_attn_modules.{ti}",
+                f"enc_attn_{i}_task{ti}",
+            )
+    out += _dconv_entries("bottleneck", ("bottleneck",))
+    for i in range(encoder_num_channels):
+        out += _conv_entries(
+            f"dec_layers.{i}.up", (f"dec_up_{i}",), bias=True, kind="convt"
+        )
+        out += _dconv_entries(f"dec_layers.{i}.conv", (f"dec_dconv_{i}",))
+        for ti in range(len(task_names)):
+            out += attn_dec(
+                f"dec_layers.{i}.task_attn_modules.{ti}",
+                f"dec_attn_{i}_task{ti}",
+            )
+    for task in task_names:
+        out += _conv_entries(
+            f"map_tasks_to_heads.{task}", (f"head_{task}", "Conv_0"), bias=True
+        )
+    return out
+
+
+def _csnet_mapping(
+    task_names: t.Sequence[str] = ("depth", "segm"),
+    num_decoder_layers: int = 5,
+) -> t.List[Entry]:
+    out: t.List[Entry] = []
+    for ti, task in enumerate(task_names):
+        out += _mobilenetv3_entries(
+            f"models.{task}.0.encoder.model", (f"encoders_{ti}",)
+        )
+        # our CSNet drives DecoderBlocks directly (decoders_{ti}_{d}), not
+        # through a UnetDecoder wrapper — same ConvBNAct layout inside
+        for d in range(num_decoder_layers):
+            out += _smp_decoder_block_entries(
+                f"models.{task}.0.decoder.blocks.{d}", (f"decoders_{ti}_{d}",)
+            )
+        out += _conv_entries(
+            f"models.{task}.1.0", (f"heads_{ti}", "Conv_0", "Conv_0"), bias=True
+        )
+    # stitch names (cross_stitch_model.py:48-49, 84-86): the module-walk
+    # regexes select encoder blocks 1..6 and decoder blocks 0..4; names are
+    # the dotted paths with dots replaced by underscores
+    for k in range(1, 7):
+        out.append(
+            (
+                f"cross_stitch_layers.0_encoder_model_blocks_{k}.weights",
+                "params",
+                (f"enc_stitches_{k - 1}", "weights"),
+                "direct",
+            )
+        )
+    for d in range(num_decoder_layers):
+        out.append(
+            (
+                f"cross_stitch_layers.0_decoder_blocks_{d}.weights",
+                "params",
+                (f"dec_stitches_{d}", "weights"),
+                "direct",
+            )
+        )
+    return out
+
+
+_MAPPINGS: t.Dict[str, t.Callable[[], t.List[Entry]]] = {
+    "basic": _basic_mapping,
+    "mtan": _mtan_mapping,
+    "csnet": _csnet_mapping,
+}
+
+# real smp timm encoders may carry classifier-tail params the feature path
+# never uses — tolerate (don't flag) unconsumed keys inside the timm
+# encoder subtrees specifically (anything else unconsumed is a layout bug)
+_TOLERATED_EXTRA_PATTERNS: t.Dict[str, t.Tuple[str, ...]] = {
+    "basic": (r"backbone\.encoder\.model\..*",),
+    "mtan": (),
+    "csnet": (r"models\.[^.]+\.0\.encoder\.model\..*",),
+}
 
 
 class _RecordingSD:
@@ -67,10 +338,15 @@ class _RecordingSD:
     a layout mismatch surfaces as ONE actionable diff, not the first
     KeyError."""
 
-    def __init__(self, sd: t.Mapping[str, np.ndarray]):
+    def __init__(
+        self,
+        sd: t.Mapping[str, np.ndarray],
+        tolerated_patterns: t.Sequence[str] = (),
+    ):
         self.sd = dict(sd)
         self.used: t.Set[str] = set()
         self.missing: t.List[str] = []
+        self.tolerated = tuple(tolerated_patterns)
 
     def __getitem__(self, key: str) -> np.ndarray:
         if key not in self.sd:
@@ -85,155 +361,48 @@ class _RecordingSD:
     def __contains__(self, key: str) -> bool:
         return key in self.sd
 
-    def subdict(self, prefix: str) -> t.Dict[str, np.ndarray]:
-        """All keys under ``prefix`` (stripped), marked as consumed."""
-        out = {}
-        for k, v in self.sd.items():
-            if k.startswith(prefix):
-                self.used.add(k)
-                out[k[len(prefix):]] = np.asarray(v)
-        if not out:
-            self.missing.append(prefix + "*")
-        return out
-
     def unused(self) -> t.List[str]:
+        import re
+
         ignorable = ("num_batches_tracked",)
         return sorted(
             k
             for k in self.sd
-            if k not in self.used and not k.endswith(ignorable)
+            if k not in self.used
+            and not k.endswith(ignorable)
+            and not any(re.fullmatch(p, k) for p in self.tolerated)
         )
 
 
-def _convt_kernel(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose2d (in,out,kh,kw) -> flax (kh,kw,in,out), spatial
-    dims flipped (flax does not flip the kernel; torch does)."""
-    return np.flip(np.transpose(w, (2, 3, 0, 1)), axis=(0, 1)).copy()
-
-
-def _gate_matrix(w: np.ndarray) -> np.ndarray:
-    """torch 1x1 conv (out,in,1,1) -> GateChain matmul weight (in,out)."""
-    return np.transpose(w[:, :, 0, 0], (1, 0))
-
-
-def _port_bn(
-    sd: _RecordingSD,
-    params: Tree,
-    stats: Tree,
-    torch_prefix: str,
-    path: t.Sequence[str],
-) -> None:
-    _set(params, list(path) + ["scale"], sd[f"{torch_prefix}.weight"])
-    _set(params, list(path) + ["bias"], sd[f"{torch_prefix}.bias"])
-    _set(stats, list(path) + ["mean"], sd[f"{torch_prefix}.running_mean"])
-    _set(stats, list(path) + ["var"], sd[f"{torch_prefix}.running_var"])
-
-
-def _port_conv(
-    sd: _RecordingSD,
-    params: Tree,
-    torch_prefix: str,
-    path: t.Sequence[str],
-    bias: bool,
-) -> None:
-    _set(params, list(path) + ["kernel"], _conv_kernel(sd[f"{torch_prefix}.weight"]))
-    if bias:
-        _set(params, list(path) + ["bias"], sd[f"{torch_prefix}.bias"])
-
-
-def _port_double_conv(
-    sd: _RecordingSD,
-    params: Tree,
-    stats: Tree,
-    torch_prefix: str,
-    path: t.Sequence[str],
-) -> None:
-    """Reference DoubleConv (model_utils.py:61-80): Sequential indices
-    0/3 = bias-free conv3x3, 1/4 = BN -> our DoubleConv's ConvBNAct_{0,1}."""
-    for j, (ci, bi) in enumerate(((0, 1), (3, 4))):
-        base = list(path) + [f"ConvBNAct_{j}"]
-        _port_conv(
-            sd, params, f"{torch_prefix}.double_conv.{ci}",
-            base + ["Conv_0", "Conv_0"], bias=False,
-        )
-        _port_bn(
-            sd, params, stats, f"{torch_prefix}.double_conv.{bi}",
-            base + ["BatchNorm_0", "BatchNorm_0"],
-        )
-
-
-def _port_smp_decoder(
-    sd: _RecordingSD,
-    params: Tree,
-    stats: Tree,
-    torch_prefix: str,
-    path: t.Sequence[str],
-    num_blocks: int,
-) -> None:
-    """smp UnetDecoder blocks -> our UnetDecoder ``block_{i}/ConvBNAct_{j}``
-    (smp 0.3.3 DecoderBlock: conv1/conv2 are Conv2dReLU =
-    Sequential(conv-bias-free, bn, relu); attention1/2 are parameter-free
-    Identity under the reference's default config)."""
-    for i in range(num_blocks):
-        for j in range(2):
-            tbase = f"{torch_prefix}.blocks.{i}.conv{j + 1}"
-            fbase = list(path) + [f"block_{i}", f"ConvBNAct_{j}"]
-            _port_conv(sd, params, f"{tbase}.0", fbase + ["Conv_0", "Conv_0"], bias=False)
-            _port_bn(sd, params, stats, f"{tbase}.1", fbase + ["BatchNorm_0", "BatchNorm_0"])
-
-
-def _port_gate_chain(
-    sd: _RecordingSD,
-    params: Tree,
-    stats: Tree,
-    torch_module: str,
-    path: t.Sequence[str],
-) -> None:
-    """Reference attention-gate pair conv1/bn1 + conv2/bn2 (both 1x1, with
-    bias) -> GateChain's explicit w/b/scale/bias params + mean/var stats."""
-    p = list(path)
-    _set(params, p + ["w1"], _gate_matrix(sd[f"{torch_module}.conv1.weight"]))
-    _set(params, p + ["b1"], sd[f"{torch_module}.conv1.bias"])
-    _set(params, p + ["scale1"], sd[f"{torch_module}.bn1.weight"])
-    _set(params, p + ["bias1"], sd[f"{torch_module}.bn1.bias"])
-    _set(stats, p + ["mean1"], sd[f"{torch_module}.bn1.running_mean"])
-    _set(stats, p + ["var1"], sd[f"{torch_module}.bn1.running_var"])
-    _set(params, p + ["w2"], _gate_matrix(sd[f"{torch_module}.conv2.weight"]))
-    _set(params, p + ["b2"], sd[f"{torch_module}.conv2.bias"])
-    _set(params, p + ["scale2"], sd[f"{torch_module}.bn2.weight"])
-    _set(params, p + ["bias2"], sd[f"{torch_module}.bn2.bias"])
-    _set(stats, p + ["mean2"], sd[f"{torch_module}.bn2.running_mean"])
-    _set(stats, p + ["var2"], sd[f"{torch_module}.bn2.running_var"])
-
-
-def _port_timm_encoder(
-    sd: _RecordingSD, torch_prefix: str
+def _apply_mapping(
+    entries: t.Sequence[Entry], rec: _RecordingSD
 ) -> t.Tuple[Tree, Tree]:
-    enc_sd = sd.subdict(torch_prefix + ".")
-    try:
-        return convert_encoder_state_dict(enc_sd)
-    except KeyError as e:  # surface as part of the aggregate diff
-        sd.missing.append(f"{torch_prefix}.{e.args[0]}")
-        return {}, {}
+    params: Tree = {}
+    stats: Tree = {}
+    for torch_key, col, path, kind in entries:
+        tree = params if col == "params" else stats
+        _set(tree, list(path), _FWD[kind](rec[torch_key]))
+    return params, stats
+
+
+def _convert(
+    name: str, sd: t.Mapping[str, np.ndarray], **mapping_kwargs: t.Any
+) -> t.Tuple[Tree, Tree, _RecordingSD]:
+    rec = (
+        sd
+        if isinstance(sd, _RecordingSD)
+        else _RecordingSD(sd, _TOLERATED_EXTRA_PATTERNS[name])
+    )
+    entries = _MAPPINGS[name](**mapping_kwargs)
+    params, stats = _apply_mapping(entries, rec)
+    return params, stats, rec
 
 
 def convert_basic_state_dict(
     sd: t.Mapping[str, np.ndarray], num_decoder_layers: int = 5
 ) -> t.Tuple[Tree, Tree, _RecordingSD]:
     """Reference BasicMTLModel state_dict -> (params, batch_stats, record)."""
-    rec = sd if isinstance(sd, _RecordingSD) else _RecordingSD(sd)
-    params: Tree = {}
-    stats: Tree = {}
-    enc_p, enc_s = _port_timm_encoder(rec, "backbone.encoder.model")
-    params["backbone"] = {"encoder": enc_p}
-    stats["backbone"] = {"encoder": enc_s}
-    _port_smp_decoder(
-        rec, params, stats, "backbone.decoder",
-        ["backbone", "decoder"], num_decoder_layers,
-    )
-    for head in ("segm_head", "depth_head"):
-        _port_conv(rec, params, f"{head}.0", [head, "Conv_0", "Conv_0"], bias=True)
-    return params, stats, rec
+    return _convert("basic", sd, num_decoder_layers=num_decoder_layers)
 
 
 def convert_mtan_state_dict(
@@ -242,70 +411,12 @@ def convert_mtan_state_dict(
     encoder_num_channels: int = 4,
 ) -> t.Tuple[Tree, Tree, _RecordingSD]:
     """Reference MTANMiniUnet state_dict -> (params, batch_stats, record)."""
-    rec = sd if isinstance(sd, _RecordingSD) else _RecordingSD(sd)
-    params: Tree = {}
-    stats: Tree = {}
-
-    def port_attn_enc(tmod: str, fmod: str) -> None:
-        # AttentionModuleEncoder (mtan_model.py:12-83): gate pair, then
-        # conv3/bn3 = the 3x3 output conv (conv3 has bias)
-        _port_gate_chain(rec, params, stats, tmod, [fmod, "GateChain_0"])
-        _port_conv(rec, params, f"{tmod}.conv3", [fmod, "Conv_0", "Conv_0"], bias=True)
-        _port_bn(rec, params, stats, f"{tmod}.bn3", [fmod, "BatchNorm_0", "BatchNorm_0"])
-
-    def port_attn_dec(tmod: str, fmod: str) -> None:
-        # AttentionModuleDecoder (mtan_model.py:86-169): conv3/bn3 is the
-        # PREV-stream 3x3 conv (our Conv_0/BatchNorm_0 — the first modules
-        # created in models/mtan.AttentionModuleDecoder), conv1/bn1+conv2/
-        # bn2 the gate chain, conv_out/bn_out the 3x3 output conv
-        _port_conv(rec, params, f"{tmod}.conv3", [fmod, "Conv_0", "Conv_0"], bias=True)
-        _port_bn(rec, params, stats, f"{tmod}.bn3", [fmod, "BatchNorm_0", "BatchNorm_0"])
-        _port_gate_chain(rec, params, stats, tmod, [fmod, "GateChain_0"])
-        _port_conv(rec, params, f"{tmod}.conv_out", [fmod, "Conv_1", "Conv_0"], bias=True)
-        _port_bn(rec, params, stats, f"{tmod}.bn_out", [fmod, "BatchNorm_1", "BatchNorm_0"])
-
-    for i in range(encoder_num_channels):
-        _port_double_conv(
-            rec, params, stats, f"enc_layers.{i}.dconv", [f"enc_dconv_{i}"]
-        )
-        for ti in range(len(task_names)):
-            port_attn_enc(
-                f"enc_layers.{i}.task_attn_modules.{ti}",
-                f"enc_attn_{i}_task{ti}",
-            )
-    _port_double_conv(rec, params, stats, "bottleneck", ["bottleneck"])
-    for i in range(encoder_num_channels):
-        _set(params, [f"dec_up_{i}", "kernel"], _convt_kernel(rec[f"dec_layers.{i}.up.weight"]))
-        _set(params, [f"dec_up_{i}", "bias"], rec[f"dec_layers.{i}.up.bias"])
-        _port_double_conv(
-            rec, params, stats, f"dec_layers.{i}.conv", [f"dec_dconv_{i}"]
-        )
-        for ti in range(len(task_names)):
-            port_attn_dec(
-                f"dec_layers.{i}.task_attn_modules.{ti}",
-                f"dec_attn_{i}_task{ti}",
-            )
-    for task in task_names:
-        _port_conv(
-            rec, params, f"map_tasks_to_heads.{task}",
-            [f"head_{task}", "Conv_0"], bias=True,
-        )
-    return params, stats, rec
-
-
-# reference CSNet stitch names (cross_stitch_model.py:48-49, 84-86): the
-# module-walk regexes select encoder blocks 1..6 and decoder blocks 0..4;
-# names are the dotted paths with dots replaced by underscores
-def _csnet_stitch_names(num_decoder_layers: int) -> t.List[t.Tuple[str, str]]:
-    pairs = [
-        (f"cross_stitch_layers.0_encoder_model_blocks_{k}", f"enc_stitches_{k - 1}")
-        for k in range(1, 7)
-    ]
-    pairs += [
-        (f"cross_stitch_layers.0_decoder_blocks_{d}", f"dec_stitches_{d}")
-        for d in range(num_decoder_layers)
-    ]
-    return pairs
+    return _convert(
+        "mtan",
+        sd,
+        task_names=task_names,
+        encoder_num_channels=encoder_num_channels,
+    )
 
 
 def convert_csnet_state_dict(
@@ -314,30 +425,12 @@ def convert_csnet_state_dict(
     num_decoder_layers: int = 5,
 ) -> t.Tuple[Tree, Tree, _RecordingSD]:
     """Reference CSNet state_dict -> (params, batch_stats, record)."""
-    rec = sd if isinstance(sd, _RecordingSD) else _RecordingSD(sd)
-    params: Tree = {}
-    stats: Tree = {}
-    for ti, task in enumerate(task_names):
-        enc_p, enc_s = _port_timm_encoder(rec, f"models.{task}.0.encoder.model")
-        params[f"encoders_{ti}"] = enc_p
-        stats[f"encoders_{ti}"] = enc_s
-        # our CSNet drives DecoderBlocks directly (decoders_{ti}_{d}), not
-        # through a UnetDecoder wrapper — same ConvBNAct layout inside
-        dec_p: Tree = {}
-        dec_s: Tree = {}
-        _port_smp_decoder(
-            rec, dec_p, dec_s, f"models.{task}.0.decoder", [], num_decoder_layers
-        )
-        for d in range(num_decoder_layers):
-            params[f"decoders_{ti}_{d}"] = dec_p[f"block_{d}"]
-            stats[f"decoders_{ti}_{d}"] = dec_s[f"block_{d}"]
-        _port_conv(
-            rec, params, f"models.{task}.1.0",
-            [f"heads_{ti}", "Conv_0", "Conv_0"], bias=True,
-        )
-    for tname, fname in _csnet_stitch_names(num_decoder_layers):
-        _set(params, [fname, "weights"], rec[f"{tname}.weights"])
-    return params, stats, rec
+    return _convert(
+        "csnet",
+        sd,
+        task_names=task_names,
+        num_decoder_layers=num_decoder_layers,
+    )
 
 
 _CONVERTERS = {
@@ -347,6 +440,59 @@ _CONVERTERS = {
 }
 
 
+# ----------------------------------------------------------------- export
+def _get_path(tree: t.Any, path: t.Sequence[str]) -> np.ndarray:
+    node = tree
+    for k in path:
+        node = node[k]
+    return np.asarray(node)
+
+
+def export_reference_checkpoint(
+    model_name: str, variables: t.Mapping[str, t.Any]
+) -> t.Dict[str, np.ndarray]:
+    """Flax variables -> a state_dict in the REFERENCE's torch key layout
+    (the exact inverse of ``import_reference_checkpoint``; round-trip
+    identity is tested). Emits ``num_batches_tracked = 0`` alongside every
+    BN so torch-side ``load_state_dict`` sees the full BN buffer set."""
+    if model_name not in _MAPPINGS:
+        raise ValueError(f"unknown model_name {model_name!r}")
+    sd: t.Dict[str, np.ndarray] = {}
+    for torch_key, col, path, kind in _MAPPINGS[model_name]():
+        try:
+            leaf = _get_path(variables[col], path)
+        except (KeyError, TypeError):
+            raise ValueError(
+                f"model variables are missing {col}/{'/'.join(path)} — "
+                f"wrong --model_name or architecture flags for this export?"
+            ) from None
+        sd[torch_key] = _INV[kind](leaf.astype(np.float32))
+        if torch_key.endswith(".running_mean"):
+            sd[torch_key.rsplit(".", 1)[0] + ".num_batches_tracked"] = (
+                np.asarray(0, np.int64)
+            )
+    return sd
+
+
+def save_reference_checkpoint(
+    path: str, model_name: str, variables: t.Mapping[str, t.Any]
+) -> None:
+    """Write an exported checkpoint as a torch-loadable ``.pt`` in the
+    reference's save format (``{"model": state_dict}``, reference
+    utils/pipeline_utils.py:150-155), or ``.npz`` when path ends so."""
+    sd = export_reference_checkpoint(model_name, variables)
+    if path.endswith(".npz"):
+        np.savez(path, **sd)
+        return
+    import torch
+
+    torch.save(
+        {"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+        path,
+    )
+
+
+# ----------------------------------------------------------------- import
 def _tree_paths(tree: t.Any, prefix: str = "") -> t.Dict[str, t.Tuple[int, ...]]:
     out: t.Dict[str, t.Tuple[int, ...]] = {}
     if isinstance(tree, t.Mapping):
@@ -443,6 +589,7 @@ def import_reference_checkpoint(
     return new_vars
 
 
+# ----------------------------------------------------------------- session
 _BUFFER_SUFFIXES = (".running_mean", ".running_var", ".num_batches_tracked")
 
 
