@@ -390,8 +390,12 @@ def test_mtan_import_forward_parity():
         encoder_num_channels=4,
         dtype=jnp.float32,
     )
+    # real reference checkpoints carry the Lightning-wrapper 'model.' prefix
+    # (MTLModule.state_dict(), pipeline_utils.py:150-155) — the importer
+    # must normalize it away
+    wrapped = {f"model.{k}": v for k, v in sd.items()}
     variables = import_reference_checkpoint(
-        "mtan", sd, _zeros_variables(model, x)
+        "mtan", wrapped, _zeros_variables(model, x)
     )
     out = model.apply(variables, jnp.asarray(x), train=False)
 
@@ -580,6 +584,39 @@ def test_import_architecture_mismatch():
         import_reference_checkpoint("csnet", sd, _zeros_variables(model, x))
 
 
+def test_restore_session_errors_without_session_artifact(tmp_path):
+    """A reference dir holding only model_{e}.pt must fail --resume_dir with
+    a message naming the missing session file (not an unrelated Orbax
+    error), and a direct .pt without model_ naming must say why."""
+    from vision_mtl_tpu.train.checkpoint import restore_session
+    from vision_mtl_tpu.train.plateau import ReduceLROnPlateau
+    from vision_mtl_tpu.train.state import create_train_state
+
+    tasks = {"depth": 1, "segm": 5}
+    replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16)
+    torch.save(
+        {"model": {f"model.{k}": v for k, v in replica.state_dict().items()}},
+        tmp_path / "model_3.pt",
+    )
+    model = MTANMiniUnet(
+        map_tasks_to_num_channels=tasks,
+        task_subnets_hidden_channels=16,
+        encoder_first_channel=8,
+        encoder_num_channels=4,
+        dtype=jnp.float32,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 48, 3)), lr=1e-3
+    )
+    with pytest.raises(ValueError, match="session_3.pt"):
+        restore_session(state, ReduceLROnPlateau(), str(tmp_path))
+    (tmp_path / "best.pt").write_bytes((tmp_path / "model_3.pt").read_bytes())
+    with pytest.raises(ValueError, match="weights-only"):
+        restore_session(
+            state, ReduceLROnPlateau(), str(tmp_path / "best.pt")
+        )
+
+
 def test_convert_basic_records_consumption():
     rng = np.random.default_rng(11)
     sd = _rand_basic_sd(rng, [32, 16, 8, 4, 2], segm_classes=5)
@@ -599,14 +636,21 @@ def test_restore_state_from_reference_torch_dir(tmp_path):
     tasks = {"depth": 1, "segm": 5}
     replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16).eval()
     _randomize_module(replica, rng)
-    # the reference's actual save format wraps the state_dict ({"model": sd},
-    # pipeline_utils.py:150-155)
-    torch.save({"model": replica.state_dict()}, tmp_path / "model_2.pt")
+    # the reference's actual save format: {"model": MTLModule.state_dict()}
+    # where the MTLModule's single child is `model`, so every inner key is
+    # 'model.'-prefixed (pipeline_utils.py:150-155, training_lit.py:173)
+    def ref_save(rep, path):
+        torch.save(
+            {"model": {f"model.{k}": v for k, v in rep.state_dict().items()}},
+            path,
+        )
+
+    ref_save(replica, tmp_path / "model_2.pt")
     # a decoy older epoch with different weights: epoch selection must pick 2
     _randomize_module(replica, np.random.default_rng(999))
-    torch.save({"model": replica.state_dict()}, tmp_path / "model_1.pt")
+    ref_save(replica, tmp_path / "model_1.pt")
     sd2 = {
-        k: v.numpy()
+        k[len("model."):]: v.numpy()
         for k, v in torch.load(tmp_path / "model_2.pt", map_location="cpu")[
             "model"
         ].items()
@@ -666,8 +710,11 @@ def test_restore_session_from_reference_torch_pair(tmp_path):
     sched.step(1.0)
     sched.step(2.0)  # worse -> num_bad_epochs becomes 1
 
-    # reference save format (pipeline_utils.py:150-163)
-    torch.save({"model": replica.state_dict()}, tmp_path / "model_4.pt")
+    # reference save format (pipeline_utils.py:150-163): module-level keys
+    torch.save(
+        {"model": {f"model.{k}": v for k, v in replica.state_dict().items()}},
+        tmp_path / "model_4.pt",
+    )
     torch.save(
         {
             "optimizer": opt.state_dict(),
@@ -814,7 +861,12 @@ def test_export_loads_into_torch_replica_strict():
         },
         rng,
     )
-    sd = export_reference_checkpoint("mtan", variables)
+    # default export is module-level (the Lightning-wrapper layout the
+    # reference's own load consumes, pipeline_utils.py:29)
+    sd_module = export_reference_checkpoint("mtan", variables)
+    assert all(k.startswith("model.") for k in sd_module)
+    sd = export_reference_checkpoint("mtan", variables, module_level=False)
+    assert {f"model.{k}" for k in sd} == set(sd_module)
 
     replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16).eval()
     replica.load_state_dict(
@@ -877,9 +929,13 @@ def test_export_script_from_orbax_run_dir(tmp_path):
 
     replica = _RefMiniUnet(tasks, first=8, levels=4, hidden=16)
     sd = torch.load(out, map_location="cpu")["model"]
-    replica.load_state_dict(sd, strict=True)
+    # script output is module-level (reference-loadable); strip for the bare
+    # replica
+    replica.load_state_dict(
+        {k[len("model."):]: v for k, v in sd.items()}, strict=True
+    )
     np.testing.assert_allclose(
-        sd["map_tasks_to_heads.segm.weight"].numpy()[:, :, 0, 0],
+        sd["model.map_tasks_to_heads.segm.weight"].numpy()[:, :, 0, 0],
         np.asarray(state.params["head_segm"]["Conv_0"]["kernel"])[0, 0].T,
         rtol=1e-6,
     )

@@ -232,26 +232,11 @@ def restore_state(
     a reference user's trained runs stay usable after migrating."""
     ref_pt = _maybe_reference_torch_ckpt(ckpt_dir, epoch)
     if ref_pt is not None:
-        from vision_mtl_tpu.utils.ckpt_import import (
-            import_reference_checkpoint,
-            infer_reference_model_name,
-        )
+        from vision_mtl_tpu.utils.ckpt_import import import_into_state
         from vision_mtl_tpu.utils.torch_port import load_state_dict_file
 
-        sd = load_state_dict_file(ref_pt)
-        name = infer_reference_model_name(sd)
-        print(f"Importing reference torch checkpoint {ref_pt} ({name})")
-        variables = import_reference_checkpoint(
-            name,
-            sd,
-            {
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
-            },
-        )
-        return state.replace(
-            params=variables["params"], batch_stats=variables["batch_stats"]
-        )
+        print(f"Importing reference torch checkpoint {ref_pt}")
+        return import_into_state(state, load_state_dict_file(ref_pt))
     restored = load_ckpt_model(ckpt_dir, epoch)
     params = _cast_into(
         jax.device_get(state.params), restored["params"], "checkpoint/model"
@@ -283,24 +268,40 @@ def restore_session(
     reference-trained run continues here mid-training."""
     ref_pt = _maybe_reference_torch_ckpt(ckpt_dir, epoch)
     if ref_pt is not None:
-        sess_pt = os.path.join(
-            os.path.dirname(ref_pt),
-            os.path.basename(ref_pt).replace("model_", "session_"),
+        from vision_mtl_tpu.utils.ckpt_import import (
+            import_into_state,
+            import_reference_session,
+            load_reference_session,
         )
-        if os.path.isfile(sess_pt):
-            import torch  # reference artifacts are torch pickles
+        from vision_mtl_tpu.utils.torch_port import load_state_dict_file
 
-            from vision_mtl_tpu.utils.ckpt_import import (
-                import_reference_session,
+        base = os.path.basename(ref_pt)
+        if not base.startswith("model_"):
+            raise ValueError(
+                f"{ref_pt} is a torch checkpoint, but a session sibling can "
+                "only be inferred from the reference's model_{e}.pt naming — "
+                "for a weights-only warm start use --ckpt_dir instead of "
+                "--resume_dir."
             )
-            from vision_mtl_tpu.utils.torch_port import load_state_dict_file
-
-            state = restore_state(state, ref_pt)
-            print(f"Importing reference torch session {sess_pt}")
-            session_sd = torch.load(sess_pt, map_location="cpu")
-            return import_reference_session(
-                load_state_dict_file(ref_pt), session_sd, state, scheduler
+        sess_pt = os.path.join(
+            os.path.dirname(ref_pt), base.replace("model_", "session_", 1)
+        )
+        if not os.path.isfile(sess_pt):
+            raise ValueError(
+                f"found reference torch checkpoint {ref_pt} but no matching "
+                f"{os.path.basename(sess_pt)} — a full resume needs the "
+                "session artifact (optimizer/scheduler/epoch). For a "
+                "weights-only warm start use --ckpt_dir instead."
             )
+        sd = load_state_dict_file(ref_pt)  # loaded ONCE for both steps
+        state = import_into_state(state, sd)
+        print(
+            f"Imported reference torch checkpoint {ref_pt}; "
+            f"importing session {sess_pt}"
+        )
+        return import_reference_session(
+            sd, load_reference_session(sess_pt), state, scheduler
+        )
     if epoch is None:
         wait_for_saves()
         epoch = _latest_common_epoch(ckpt_dir)

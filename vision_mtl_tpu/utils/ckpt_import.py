@@ -14,8 +14,16 @@ import (apply) and export (invert) both derive, so the two directions
 cannot drift; round-trip identity is tested per architecture
 (tests/test_ckpt_import.py).
 
-Source layouts (state_dict key schemas), cited to the code that defines
-them:
+Real reference checkpoints hold the Lightning ``MTLModule``'s state_dict
+(``save_ckpt(module=module)`` saves ``module.state_dict()`` — reference
+pipeline_utils.py:150-155 via training_lit.py:173), so every key carries a
+leading ``model.`` (the wrapper's single child). Import normalizes that
+prefix away (``normalize_reference_state_dict``); export adds it back by
+default so the reference's own ``module.load_state_dict(ckpt["model"])``
+(pipeline_utils.py:29) consumes exported files directly.
+
+Source layouts (bare-model state_dict key schemas, i.e. after wrapper
+normalization), cited to the code that defines them:
 
 * **basic** (reference models/basic_model.py:10-60 + utils/model_utils.py:
   10-43): ``backbone.encoder.model.*`` (timm mobilenetv3_large_100 inside
@@ -440,6 +448,29 @@ _CONVERTERS = {
 }
 
 
+# ------------------------------------------------------------- normalization
+_REFERENCE_ROOTS = ("backbone.", "enc_layers.", "models.")
+
+
+def normalize_reference_state_dict(
+    sd: t.Mapping[str, np.ndarray]
+) -> t.Dict[str, np.ndarray]:
+    """Reference checkpoints hold the Lightning ``MTLModule``'s state_dict,
+    whose single child module is ``model`` (reference save_ckpt saves
+    ``module.state_dict()`` — pipeline_utils.py:150-155 via
+    training_lit.py:173), so every real key is ``model.``-prefixed. Strip
+    that wrapper level (dropping any wrapper-level extras, e.g. persistent
+    metric buffers); bare-model state dicts pass through unchanged."""
+    stripped = {
+        k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")
+    }
+    if stripped and any(
+        k.startswith(r) for k in stripped for r in _REFERENCE_ROOTS
+    ):
+        return stripped
+    return dict(sd)
+
+
 # ----------------------------------------------------------------- export
 def _get_path(tree: t.Any, path: t.Sequence[str]) -> np.ndarray:
     node = tree
@@ -449,14 +480,22 @@ def _get_path(tree: t.Any, path: t.Sequence[str]) -> np.ndarray:
 
 
 def export_reference_checkpoint(
-    model_name: str, variables: t.Mapping[str, t.Any]
+    model_name: str,
+    variables: t.Mapping[str, t.Any],
+    module_level: bool = True,
 ) -> t.Dict[str, np.ndarray]:
     """Flax variables -> a state_dict in the REFERENCE's torch key layout
     (the exact inverse of ``import_reference_checkpoint``; round-trip
     identity is tested). Emits ``num_batches_tracked = 0`` alongside every
-    BN so torch-side ``load_state_dict`` sees the full BN buffer set."""
+    BN so torch-side ``load_state_dict`` sees the full BN buffer set.
+
+    ``module_level`` (default) prefixes every key with ``model.`` — the
+    Lightning-wrapper level the reference's own load consumes
+    (``module.load_state_dict(ckpt["model"])``, pipeline_utils.py:29).
+    Pass False for a bare-model state_dict (``build_model(...)`` modules)."""
     if model_name not in _MAPPINGS:
         raise ValueError(f"unknown model_name {model_name!r}")
+    prefix = "model." if module_level else ""
     sd: t.Dict[str, np.ndarray] = {}
     for torch_key, col, path, kind in _MAPPINGS[model_name]():
         try:
@@ -466,29 +505,68 @@ def export_reference_checkpoint(
                 f"model variables are missing {col}/{'/'.join(path)} — "
                 f"wrong --model_name or architecture flags for this export?"
             ) from None
-        sd[torch_key] = _INV[kind](leaf.astype(np.float32))
+        sd[prefix + torch_key] = _INV[kind](leaf.astype(np.float32))
         if torch_key.endswith(".running_mean"):
-            sd[torch_key.rsplit(".", 1)[0] + ".num_batches_tracked"] = (
-                np.asarray(0, np.int64)
-            )
+            sd[
+                prefix + torch_key.rsplit(".", 1)[0] + ".num_batches_tracked"
+            ] = np.asarray(0, np.int64)
     return sd
 
 
 def save_reference_checkpoint(
-    path: str, model_name: str, variables: t.Mapping[str, t.Any]
+    path: str,
+    model_name: str,
+    variables: t.Mapping[str, t.Any],
+    module_level: bool = True,
 ) -> None:
     """Write an exported checkpoint as a torch-loadable ``.pt`` in the
     reference's save format (``{"model": state_dict}``, reference
     utils/pipeline_utils.py:150-155), or ``.npz`` when path ends so."""
-    sd = export_reference_checkpoint(model_name, variables)
+    sd = export_reference_checkpoint(
+        model_name, variables, module_level=module_level
+    )
     if path.endswith(".npz"):
         np.savez(path, **sd)
         return
-    import torch
+    try:
+        import torch
+    except ImportError:
+        raise RuntimeError(
+            "torch is unavailable on this host — export to a '.npz' path "
+            "instead (loadable with numpy on any torch host)"
+        ) from None
 
     torch.save(
         {"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
         path,
+    )
+
+
+def load_reference_session(path: str) -> t.Dict[str, t.Any]:
+    """Load a reference ``session_{e}.pt`` (torch pickle: optimizer +
+    scheduler + epoch). Lives here so train/ stays torch-free."""
+    import torch
+
+    return torch.load(path, map_location="cpu")
+
+
+def import_into_state(state: t.Any, sd: t.Mapping[str, np.ndarray]) -> t.Any:
+    """Replace a TrainState's params/batch_stats with a reference
+    checkpoint's (architecture inferred from the normalized key layout)."""
+    import jax
+
+    sd = normalize_reference_state_dict(sd)
+    name = infer_reference_model_name(sd)
+    variables = import_reference_checkpoint(
+        name,
+        sd,
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        },
+    )
+    return state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
     )
 
 
@@ -526,6 +604,7 @@ def import_reference_checkpoint(
         if isinstance(sd_or_path, str)
         else sd_or_path
     )
+    sd = normalize_reference_state_dict(sd)
     params, stats, rec = _CONVERTERS[model_name](sd)
 
     problems: t.List[str] = []
@@ -630,6 +709,10 @@ def import_reference_session(
     import jax.numpy as jnp
     import optax
 
+    # optimizer indices follow model.parameters() order — the reference's
+    # MTLModule delegates parameters() to the bare model (lit_module.py:
+    # 232-234), so order comes from the NORMALIZED (wrapper-stripped) keys
+    model_sd = normalize_reference_state_dict(model_sd)
     name = infer_reference_model_name(model_sd)
     order = reference_param_order(model_sd)
     opt = session_sd["optimizer"]
