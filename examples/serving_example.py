@@ -98,6 +98,29 @@ def main() -> None:
         print(f"wrote StableHLO artifact: {args.export} "
               f"({os.path.getsize(args.export)/1e6:.1f} MB)")
 
+    # dynamic micro-batching: concurrent single-image requests coalesce
+    # into bucketed statically-shaped batches
+    import concurrent.futures
+
+    from vision_mtl_tpu.serving import BatchingServer
+
+    with BatchingServer(
+        model, state, h, w,
+        buckets=(1, max(1, args.batch_size // 2), args.batch_size),
+    ) as srv:
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            futs = [
+                pool.submit(srv.predict, imgs[i % len(imgs)])
+                for i in range(args.requests)
+            ]
+            for f in futs:
+                f.result()
+        s = srv.stats()
+        print(
+            f"batching server: {s['requests']} requests in {s['batches']} "
+            f"batches, occupancy {s['mean_batch_occupancy']:.2f}"
+        )
+
 
 if __name__ == "__main__":
     main()

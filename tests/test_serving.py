@@ -1,4 +1,7 @@
-"""Serving: AOT predictor, ragged padding, export/load roundtrip."""
+"""Serving: AOT predictor, ragged padding, export/load roundtrip,
+dynamic micro-batching server."""
+
+import concurrent.futures
 
 import numpy as np
 import pytest
@@ -8,6 +11,7 @@ import jax.numpy as jnp
 
 from vision_mtl_tpu.models.mtan import MTANMiniUnet
 from vision_mtl_tpu.serving import (
+    BatchingServer,
     Predictor,
     export_model,
     latency_bench,
@@ -81,6 +85,158 @@ def test_latency_bench_reports(model_state, rng):
     )
     assert stats["p50_ms"] > 0
     assert stats["p99_ms"] >= stats["p50_ms"]
+
+
+@pytest.fixture(scope="module")
+def batching_server(model_state):
+    model, state = model_state
+    with BatchingServer(
+        model, state, height=16, width=16, buckets=(1, 2, 4), max_wait_ms=5.0
+    ) as srv:
+        yield srv
+
+
+def test_batching_server_matches_predictor(model_state, batching_server, rng):
+    """Concurrent single-image requests come back demuxed and equal to the
+    one-shot Predictor's output for the same images."""
+    model, state = model_state
+    imgs = rng.uniform(size=(4, 16, 16, 3)).astype(np.float32)
+    ref = Predictor(model, state, batch_size=4, height=16, width=16)(imgs)
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        futs = list(pool.map(batching_server.submit, imgs))
+    for i, fut in enumerate(futs):
+        out = fut.result(timeout=60)
+        assert out["segm"].shape == (16, 16)
+        np.testing.assert_array_equal(out["segm"], ref["segm"][i])
+        np.testing.assert_allclose(
+            out["depth"], ref["depth"][i], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_batching_server_coalesces_and_counts(model_state):
+    model, state = model_state
+    srv = BatchingServer(
+        model, state, height=16, width=16, buckets=(2,), max_wait_ms=200.0
+    )
+    try:
+        imgs = np.zeros((5, 16, 16, 3), np.float32)
+        futs = [srv.submit(im) for im in imgs]
+        for f in futs:
+            f.result(timeout=60)
+        s = srv.stats()
+        assert s["requests"] == 5
+        assert s["batched_images"] == 5
+        # 5 requests through a single bucket of 2 -> 3 batches, 1 padded slot
+        assert s["batches"] == 3
+        assert s["padded_slots"] == 1
+        assert 0 < s["mean_batch_occupancy"] <= 1
+    finally:
+        srv.close()
+
+
+def test_batching_server_rejects_bad_requests(batching_server):
+    with pytest.raises(ValueError):
+        batching_server.submit(np.zeros((2, 16, 16, 3), np.float32))
+    with pytest.raises(ValueError):
+        batching_server.submit(np.zeros((8, 8, 3), np.float32))
+
+
+def test_batching_server_close_semantics(model_state):
+    model, state = model_state
+    srv = BatchingServer(
+        model, state, height=16, width=16, buckets=(1,), max_wait_ms=1.0
+    )
+    fut = srv.submit(np.zeros((16, 16, 3), np.float32))
+    srv.close()
+    # submitted-before-close requests are drained, not dropped
+    assert fut.result(timeout=60)["segm"].shape == (16, 16)
+    with pytest.raises(RuntimeError):
+        srv.submit(np.zeros((16, 16, 3), np.float32))
+    srv.close()  # idempotent
+
+
+@pytest.fixture(scope="module")
+def http_server(model_state, batching_server):
+    from vision_mtl_tpu.serve import make_server, serve_in_thread
+
+    server = make_server(
+        batching_server, (16, 16, 3), {"model": "mtan-test"}, port=0
+    )
+    serve_in_thread(server)
+    yield server
+    server.shutdown()
+    server.server_close()
+
+
+def _request(server, method, path, body=None):
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    try:
+        conn.request(method, path, body=body)
+        resp = conn.getresponse()
+        return resp.status, resp.read()
+    finally:
+        conn.close()
+
+
+def _npy_bytes(arr):
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_http_predict_roundtrip(model_state, batching_server, http_server, rng):
+    import io
+
+    model, state = model_state
+    imgs = rng.uniform(size=(3, 16, 16, 3)).astype(np.float32)
+    ref = Predictor(model, state, batch_size=4, height=16, width=16)(imgs)
+    status, body = _request(
+        http_server, "POST", "/predict", _npy_bytes(imgs)
+    )
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    assert out["segm"].shape == (3, 16, 16)
+    assert out["depth"].shape == (3, 16, 16, 1)
+    np.testing.assert_array_equal(out["segm"], ref["segm"])
+    # single HWC image body works too
+    status, body = _request(
+        http_server, "POST", "/predict", _npy_bytes(imgs[0])
+    )
+    assert status == 200
+    out1 = np.load(io.BytesIO(body))
+    assert out1["segm"].shape == (1, 16, 16)
+    np.testing.assert_array_equal(out1["segm"][0], ref["segm"][0])
+    # uint8 body normalizes to /255 on receipt
+    u8 = (imgs[0] * 255).astype(np.uint8)
+    status, body = _request(http_server, "POST", "/predict", _npy_bytes(u8))
+    assert status == 200
+
+
+def test_http_health_stats_and_errors(http_server):
+    import json
+
+    status, body = _request(http_server, "GET", "/healthz")
+    assert status == 200
+    info = json.loads(body)
+    assert info["ok"] and info["model"] == "mtan-test"
+    status, body = _request(http_server, "GET", "/stats")
+    assert status == 200
+    assert "requests" in json.loads(body)
+    status, _ = _request(http_server, "GET", "/nope")
+    assert status == 404
+    status, body = _request(http_server, "POST", "/predict", b"not an array")
+    assert status == 400
+    assert "npy" in json.loads(body)["error"]
+    status, body = _request(
+        http_server, "POST", "/predict", _npy_bytes(np.zeros((4, 4, 3), np.float32))
+    )
+    assert status == 400
+    assert "expected shape" in json.loads(body)["error"]
 
 
 def test_meshed_predictor_matches_single_device(rng):

@@ -49,17 +49,18 @@ def _load_run_args(ckpt_dir: str) -> t.Dict[str, t.Any]:
     return vars(load_args(path))
 
 
-def evaluate_run(
+def load_run_model(
     model_name: str,
     ckpt_dir: str,
     dataset_name: str,
     batch_size: int = 8,
-    loss_segm_weight: float = 1.0,
-    loss_depth_weight: float = 1.0,
     channel_wise_stitching: bool = False,
     precision: t.Optional[str] = None,
-) -> t.Dict[str, float]:
-    """Defaults mirror the training CLI's (channel_wise_stitching is a
+) -> t.Tuple[t.Any, t.Any, t.Any, t.Dict[str, t.Any]]:
+    """Reconstruct the architecture a run dir was trained with and restore
+    its latest checkpoint. Returns ``(model, state, data_cfg, run_args)``.
+
+    Defaults mirror the training CLI's (channel_wise_stitching is a
     store_true flag -> False; precision bf16) so a checkpoint dir without
     train_args.yaml still reconstructs the CLI-default architecture."""
     data_cfg = fetch_data_cfg(dataset_name)
@@ -80,8 +81,6 @@ def evaluate_run(
     channel_wise_stitching = run_args.get(
         "channel_wise_stitching", channel_wise_stitching
     )
-    loss_segm_weight = run_args.get("loss_segm_weight", loss_segm_weight)
-    loss_depth_weight = run_args.get("loss_depth_weight", loss_depth_weight)
     precision = precision or run_args.get("precision", "bf16")
     args = argparse.Namespace(
         model_name=model_name,
@@ -97,6 +96,29 @@ def evaluate_run(
     )
     model, state = init_model(args, data_cfg)
     state = restore_state(state, ckpt_dir)
+    return model, state, data_cfg, run_args
+
+
+def evaluate_run(
+    model_name: str,
+    ckpt_dir: str,
+    dataset_name: str,
+    batch_size: int = 8,
+    loss_segm_weight: float = 1.0,
+    loss_depth_weight: float = 1.0,
+    channel_wise_stitching: bool = False,
+    precision: t.Optional[str] = None,
+) -> t.Dict[str, float]:
+    model, state, data_cfg, run_args = load_run_model(
+        model_name,
+        ckpt_dir,
+        dataset_name,
+        batch_size=batch_size,
+        channel_wise_stitching=channel_wise_stitching,
+        precision=precision,
+    )
+    loss_segm_weight = run_args.get("loss_segm_weight", loss_segm_weight)
+    loss_depth_weight = run_args.get("loss_depth_weight", loss_depth_weight)
     dm = MTLDataModule(
         dataset_name,
         batch_size=batch_size,

@@ -5,6 +5,10 @@ production deployment this module provides:
 
   * ``Predictor`` — an AOT-compiled fixed-shape inference callable (no trace
     on first request), with automatic padding of ragged final batches;
+  * ``BatchingServer`` — a dynamic micro-batching front end: concurrent
+    single-image requests are coalesced into statically-shaped batches
+    (bucketed AOT programs — the TPU answer to dynamic request load) and
+    demultiplexed back to per-request futures;
   * ``export_model`` / ``load_exported`` — portable serialized StableHLO
     artifacts via ``jax.export`` (runnable on any machine with compatible
     runtime, no Python model code needed);
@@ -15,6 +19,9 @@ production deployment this module provides:
 
 from __future__ import annotations
 
+import concurrent.futures
+import queue
+import threading
 import time
 import typing as t
 
@@ -111,6 +118,153 @@ class Predictor:
         out = self._compiled(self._params, self._stats, jnp.asarray(imgs))
         host = jax.device_get(out)
         return {k: v[:n] for k, v in host.items()}
+
+
+class BatchingServer:
+    """Dynamic micro-batching over bucketed AOT programs.
+
+    TPU inference wants large, statically-shaped batches; production request
+    streams arrive one image at a time. This server bridges the two: a
+    background worker drains a request queue, coalesces up to
+    ``max(buckets)`` images (waiting at most ``max_wait_ms`` after the first
+    request of a batch), runs the smallest compiled bucket that fits, and
+    resolves each request's future with its own slice of the output.
+
+    One program is AOT-compiled per bucket size at construction (pay all
+    compile cost up front, never on a request). Requests never queue behind
+    compilation, and a ragged tail pads only up to the next bucket rather
+    than the full batch. With a ``mesh``, every bucket shards its batch over
+    the mesh exactly like :class:`Predictor`.
+
+    Thread-safe; use as a context manager or call :meth:`close`.
+    """
+
+    def __init__(
+        self,
+        model: t.Any,
+        state: TrainState,
+        height: int,
+        width: int,
+        buckets: t.Sequence[int] = (1, 4, 8),
+        max_wait_ms: float = 2.0,
+        channels: int = 3,
+        dtype: t.Any = jnp.float32,
+        mesh: t.Any = None,
+    ):
+        if not buckets or any(b <= 0 for b in buckets):
+            raise ValueError(f"buckets must be positive ints, got {buckets!r}")
+        self._buckets = sorted(set(int(b) for b in buckets))
+        self._predictors = {
+            b: Predictor(
+                model, state, b, height, width,
+                channels=channels, dtype=dtype, mesh=mesh,
+            )
+            for b in self._buckets
+        }
+        self._sample_shape = (height, width, channels)
+        self._max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[t.Optional[tuple]]" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "batches": 0,
+            "batched_images": 0,
+            "padded_slots": 0,
+        }
+        self._worker = threading.Thread(
+            target=self._run, name="vmtl-batching-server", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side ------------------------------------------------------
+
+    def submit(self, img: np.ndarray) -> "concurrent.futures.Future":
+        """Enqueue one HWC image; the future resolves to ``{"segm","depth"}``
+        for that image alone."""
+        img = np.asarray(img)
+        if img.shape != self._sample_shape:
+            raise ValueError(
+                f"expected one image of shape {self._sample_shape}, "
+                f"got {img.shape}"
+            )
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("BatchingServer is closed")
+            self._stats["requests"] += 1
+            self._queue.put((img, fut))
+        return fut
+
+    def predict(self, img: np.ndarray) -> t.Dict[str, np.ndarray]:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(img).result()
+
+    def stats(self) -> t.Dict[str, float]:
+        with self._lock:
+            s = dict(self._stats)
+        s["mean_batch_occupancy"] = (
+            s["batched_images"] / max(1, s["batched_images"] + s["padded_slots"])
+        )
+        return s
+
+    def close(self) -> None:
+        """Stop the worker after draining already-submitted requests."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._queue.put(None)
+        self._worker.join()
+
+    def __enter__(self) -> "BatchingServer":
+        return self
+
+    def __exit__(self, *exc: t.Any) -> None:
+        self.close()
+
+    # -- worker side ------------------------------------------------------
+
+    def _run(self) -> None:
+        max_bucket = self._buckets[-1]
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            pending = [first]
+            deadline = time.monotonic() + self._max_wait_s
+            while len(pending) < max_bucket:
+                remain = deadline - time.monotonic()
+                try:
+                    item = (
+                        self._queue.get_nowait()
+                        if remain <= 0
+                        else self._queue.get(timeout=remain)
+                    )
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._flush(pending)
+                    return
+                pending.append(item)
+            self._flush(pending)
+
+    def _flush(self, pending: t.List[tuple]) -> None:
+        n = len(pending)
+        bucket = next(b for b in self._buckets if b >= n)
+        imgs = np.stack([img for img, _ in pending], axis=0)
+        try:
+            out = self._predictors[bucket](imgs)
+        except Exception as e:  # resolve, don't kill the worker
+            for _, fut in pending:
+                fut.set_exception(e)
+            return
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["batched_images"] += n
+            self._stats["padded_slots"] += bucket - n
+        for i, (_, fut) in enumerate(pending):
+            fut.set_result({k: v[i] for k, v in out.items()})
 
 
 def export_model(
