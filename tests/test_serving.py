@@ -134,6 +134,41 @@ def test_batching_server_coalesces_and_counts(model_state):
         srv.close()
 
 
+def test_batching_server_pipelined_stream(model_state, rng):
+    """A sustained stream of DISTINCT images through the two-stage pipeline
+    (dispatch worker + fetch thread, max_in_flight=2) demuxes every request
+    to its own result — no cross-wiring between overlapping in-flight
+    batches — and matches the one-shot Predictor exactly."""
+    model, state = model_state
+    n = 12
+    imgs = rng.uniform(size=(n, 16, 16, 3)).astype(np.float32)
+    ref = Predictor(model, state, batch_size=n, height=16, width=16)(imgs)
+    srv = BatchingServer(
+        model,
+        state,
+        height=16,
+        width=16,
+        buckets=(1, 2),
+        max_wait_ms=1.0,
+        max_in_flight=2,
+    )
+    try:
+        futs = [srv.submit(im) for im in imgs]  # floods the 2-deep pipeline
+        for i, fut in enumerate(futs):
+            out = fut.result(timeout=120)
+            np.testing.assert_array_equal(out["segm"], ref["segm"][i])
+            np.testing.assert_allclose(
+                out["depth"], ref["depth"][i], rtol=1e-5, atol=1e-6
+            )
+        assert srv.stats()["batched_images"] == n
+    finally:
+        srv.close()
+    with pytest.raises(ValueError):
+        BatchingServer(
+            model, state, height=16, width=16, buckets=(1,), max_in_flight=0
+        )
+
+
 def test_batching_server_rejects_bad_requests(batching_server):
     with pytest.raises(ValueError):
         batching_server.submit(np.zeros((2, 16, 16, 3), np.float32))

@@ -102,7 +102,12 @@ class Predictor:
         )
         self._compiled = fn.lower(p_shape, s_shape, sample).compile()
 
-    def __call__(self, imgs: np.ndarray) -> t.Dict[str, np.ndarray]:
+    def dispatch(self, imgs: np.ndarray) -> t.Tuple[t.Any, int]:
+        """Enqueue the compiled program and return ``(device_out, n)``
+        WITHOUT waiting for completion or fetching outputs — pair with
+        :meth:`fetch`. Lets a caller overlap device compute with the
+        host-side output transfer of the previous batch (the transfer
+        dominates request latency on relay-attached hosts)."""
         n = imgs.shape[0]
         if n > self.batch_size:
             raise ValueError(
@@ -115,9 +120,16 @@ class Predictor:
         if n < self.batch_size:
             pad = np.repeat(imgs[-1:], self.batch_size - n, axis=0)
             imgs = np.concatenate([imgs, pad], axis=0)
-        out = self._compiled(self._params, self._stats, jnp.asarray(imgs))
+        return self._compiled(self._params, self._stats, jnp.asarray(imgs)), n
+
+    def fetch(self, out: t.Any, n: int) -> t.Dict[str, np.ndarray]:
+        """Complete a :meth:`dispatch`: fetch outputs to host (the honest
+        sync point — see docs/BENCH_NOTES.md) and strip padding rows."""
         host = jax.device_get(out)
         return {k: v[:n] for k, v in host.items()}
+
+    def __call__(self, imgs: np.ndarray) -> t.Dict[str, np.ndarray]:
+        return self.fetch(*self.dispatch(imgs))
 
 
 class BatchingServer:
@@ -136,6 +148,14 @@ class BatchingServer:
     than the full batch. With a ``mesh``, every bucket shards its batch over
     the mesh exactly like :class:`Predictor`.
 
+    Execution is two-stage pipelined: the batching worker only *dispatches*
+    the compiled program (async under jax) and hands the in-flight handle to
+    a fetch thread that performs the host transfer and resolves the futures.
+    Batch N+1's device compute therefore overlaps batch N's D2H fetch —
+    which dominates request latency on relay-attached hosts (BENCH_NOTES).
+    ``max_in_flight`` bounds the dispatch-ahead depth so a slow fetch
+    backpressures the queue instead of piling device work.
+
     Thread-safe; use as a context manager or call :meth:`close`.
     """
 
@@ -150,7 +170,10 @@ class BatchingServer:
         channels: int = 3,
         dtype: t.Any = jnp.float32,
         mesh: t.Any = None,
+        max_in_flight: int = 2,
     ):
+        if max_in_flight < 1:
+            raise ValueError(f"max_in_flight must be >= 1, got {max_in_flight}")
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive ints, got {buckets!r}")
         self._buckets = sorted(set(int(b) for b in buckets))
@@ -172,6 +195,14 @@ class BatchingServer:
             "batched_images": 0,
             "padded_slots": 0,
         }
+        # dispatched-but-unfetched batches; bounded so dispatch backpressures
+        self._inflight: "queue.Queue[t.Optional[tuple]]" = queue.Queue(
+            maxsize=max_in_flight
+        )
+        self._fetcher = threading.Thread(
+            target=self._run_fetch, name="vmtl-batching-fetch", daemon=True
+        )
+        self._fetcher.start()
         self._worker = threading.Thread(
             target=self._run, name="vmtl-batching-server", daemon=True
         )
@@ -209,13 +240,14 @@ class BatchingServer:
         return s
 
     def close(self) -> None:
-        """Stop the worker after draining already-submitted requests."""
+        """Stop the workers after draining already-submitted requests."""
         with self._lock:
             if self._closed:
                 return
             self._closed = True
         self._queue.put(None)
         self._worker.join()
+        self._fetcher.join()
 
     def __enter__(self) -> "BatchingServer":
         return self
@@ -227,34 +259,39 @@ class BatchingServer:
 
     def _run(self) -> None:
         max_bucket = self._buckets[-1]
-        while True:
-            first = self._queue.get()
-            if first is None:
-                return
-            pending = [first]
-            deadline = time.monotonic() + self._max_wait_s
-            while len(pending) < max_bucket:
-                remain = deadline - time.monotonic()
-                try:
-                    item = (
-                        self._queue.get_nowait()
-                        if remain <= 0
-                        else self._queue.get(timeout=remain)
-                    )
-                except queue.Empty:
-                    break
-                if item is None:
-                    self._flush(pending)
+        try:
+            while True:
+                first = self._queue.get()
+                if first is None:
                     return
-                pending.append(item)
-            self._flush(pending)
+                pending = [first]
+                deadline = time.monotonic() + self._max_wait_s
+                while len(pending) < max_bucket:
+                    remain = deadline - time.monotonic()
+                    try:
+                        item = (
+                            self._queue.get_nowait()
+                            if remain <= 0
+                            else self._queue.get(timeout=remain)
+                        )
+                    except queue.Empty:
+                        break
+                    if item is None:
+                        self._flush(pending)
+                        return
+                    pending.append(item)
+                self._flush(pending)
+        finally:
+            self._inflight.put(None)  # fetch thread drains, then exits
 
     def _flush(self, pending: t.List[tuple]) -> None:
+        """Dispatch one coalesced batch; futures resolve on the fetch
+        thread. Blocks only when ``max_in_flight`` batches are unfetched."""
         n = len(pending)
         bucket = next(b for b in self._buckets if b >= n)
         imgs = np.stack([img for img, _ in pending], axis=0)
         try:
-            out = self._predictors[bucket](imgs)
+            out, _ = self._predictors[bucket].dispatch(imgs)
         except Exception as e:  # resolve, don't kill the worker
             for _, fut in pending:
                 fut.set_exception(e)
@@ -263,8 +300,22 @@ class BatchingServer:
             self._stats["batches"] += 1
             self._stats["batched_images"] += n
             self._stats["padded_slots"] += bucket - n
-        for i, (_, fut) in enumerate(pending):
-            fut.set_result({k: v[i] for k, v in out.items()})
+        self._inflight.put((bucket, out, pending))
+
+    def _run_fetch(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            bucket, out, pending = item
+            try:
+                host = self._predictors[bucket].fetch(out, len(pending))
+            except Exception as e:
+                for _, fut in pending:
+                    fut.set_exception(e)
+                continue
+            for i, (_, fut) in enumerate(pending):
+                fut.set_result({k: v[i] for k, v in host.items()})
 
 
 def export_model(
