@@ -45,6 +45,12 @@ def main() -> None:
     p.add_argument("--requests_per_client", type=int, default=32)
     p.add_argument("--n", type=int, default=50, help="latency samples/bucket")
     p.add_argument("--max_wait_ms", type=float, default=2.0)
+    p.add_argument(
+        "--wire_dtype",
+        choices=("float32", "uint8"),
+        default="float32",
+        help="compiled input dtype (uint8 = 4x smaller H2D, /255 on device)",
+    )
     p.add_argument("--run_dir", default=None, help="serve a trained run")
     p.add_argument("--http", action="store_true", help="also time HTTP e2e")
     args = p.parse_args()
@@ -85,16 +91,26 @@ def main() -> None:
         )
         label = "basic (flagship config, fresh weights)"
 
-    print(f"backend={jax.default_backend()}  model={label}  image={h}x{w}")
+    wire_u8 = args.wire_dtype == "uint8"
+    jdtype = jnp.uint8 if wire_u8 else jnp.float32
+    print(
+        f"backend={jax.default_backend()}  model={label}  image={h}x{w}  "
+        f"wire={args.wire_dtype}"
+    )
     rng = np.random.default_rng(0)
 
+    def make_imgs(n: int) -> np.ndarray:
+        if wire_u8:
+            return rng.integers(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        return rng.uniform(0, 1, size=(n, h, w, 3)).astype(np.float32)
+
     # -- 1. per-bucket AOT program latency ---------------------------------
-    results: dict = {"buckets": {}}
+    results: dict = {"wire_dtype": args.wire_dtype, "buckets": {}}
     for b in buckets:
         t0 = time.perf_counter()
-        pred = Predictor(model, state, b, h, w)
+        pred = Predictor(model, state, b, h, w, dtype=jdtype)
         compile_s = time.perf_counter() - t0
-        imgs = rng.uniform(0, 1, size=(b, h, w, 3)).astype(np.float32)
+        imgs = make_imgs(b)
         lat = latency_bench(pred, imgs, n=args.n)
         lat["imgs_per_s"] = b / (lat["p50_ms"] / 1000.0)
         results["buckets"][b] = {"compile_s": round(compile_s, 1), **lat}
@@ -106,9 +122,10 @@ def main() -> None:
 
     # -- 2. dynamic batcher under concurrent single-image clients ----------
     with BatchingServer(
-        model, state, h, w, buckets=buckets, max_wait_ms=args.max_wait_ms
+        model, state, h, w, buckets=buckets, max_wait_ms=args.max_wait_ms,
+        dtype=jdtype,
     ) as server:
-        img = rng.uniform(0, 1, size=(h, w, 3)).astype(np.float32)
+        img = make_imgs(1)[0]
 
         def client(_i: int) -> float:
             lats = []
@@ -153,13 +170,17 @@ def main() -> None:
         from vision_mtl_tpu.serve import make_server, serve_in_thread
 
         batcher = BatchingServer(
-            model, state, h, w, buckets=buckets, max_wait_ms=args.max_wait_ms
+            model, state, h, w, buckets=buckets,
+            max_wait_ms=args.max_wait_ms, dtype=jdtype,
         )
-        httpd = make_server(batcher, (h, w, 3))
+        httpd = make_server(
+            batcher, (h, w, 3),
+            wire_dtype=np.uint8 if wire_u8 else np.float32,
+        )
         serve_in_thread(httpd)
         host, port = httpd.server_address[:2]
         buf = io.BytesIO()
-        np.save(buf, (img * 255).astype(np.uint8))
+        np.save(buf, img if wire_u8 else (img * 255).astype(np.uint8))
         body = buf.getvalue()
         url = f"http://{host}:{port}/predict"
         lats = []

@@ -169,6 +169,33 @@ def test_batching_server_pipelined_stream(model_state, rng):
         )
 
 
+def test_uint8_wire_mode_exact_and_guarded(model_state, rng):
+    """uint8-compiled programs normalize on device; results are bit-equal
+    to host-normalized float32 input (same astype(f32)/255 arithmetic),
+    and float submissions are rejected up front."""
+    model, state = model_state
+    raw = rng.integers(0, 256, size=(2, 16, 16, 3)).astype(np.uint8)
+    f32 = Predictor(model, state, batch_size=2, height=16, width=16)(
+        raw.astype(np.float32) / 255.0
+    )
+    u8 = Predictor(
+        model, state, batch_size=2, height=16, width=16, dtype=jnp.uint8
+    )(raw)
+    np.testing.assert_array_equal(u8["segm"], f32["segm"])
+    np.testing.assert_array_equal(u8["depth"], f32["depth"])
+
+    srv = BatchingServer(
+        model, state, height=16, width=16, buckets=(2,), dtype=jnp.uint8
+    )
+    try:
+        with pytest.raises(ValueError, match="uint8 wire"):
+            srv.submit(np.zeros((16, 16, 3), np.float32))
+        out = srv.predict(raw[0])
+        np.testing.assert_array_equal(out["segm"], f32["segm"][0])
+    finally:
+        srv.close()
+
+
 def test_batching_server_rejects_bad_requests(batching_server):
     with pytest.raises(ValueError):
         batching_server.submit(np.zeros((2, 16, 16, 3), np.float32))
@@ -272,6 +299,41 @@ def test_http_health_stats_and_errors(http_server):
     )
     assert status == 400
     assert "expected shape" in json.loads(body)["error"]
+
+
+def test_http_uint8_wire_server(model_state, rng):
+    """A --wire_dtype uint8 daemon serves raw uint8 bodies and 400s float
+    bodies instead of silently quantizing them."""
+    from vision_mtl_tpu.serve import make_server, serve_in_thread
+
+    model, state = model_state
+    with BatchingServer(
+        model, state, height=16, width=16, buckets=(1, 2), dtype=jnp.uint8
+    ) as srv:
+        server = make_server(srv, (16, 16, 3), wire_dtype=np.uint8)
+        serve_in_thread(server)
+        try:
+            raw = rng.integers(0, 256, size=(2, 16, 16, 3)).astype(np.uint8)
+            status, body = _request(
+                server, "POST", "/predict", _npy_bytes(raw)
+            )
+            assert status == 200
+            import io
+
+            out = np.load(io.BytesIO(body))
+            ref = Predictor(
+                model, state, batch_size=2, height=16, width=16,
+                dtype=jnp.uint8,
+            )(raw)
+            np.testing.assert_array_equal(out["segm"], ref["segm"])
+            status, body = _request(
+                server, "POST", "/predict",
+                _npy_bytes(raw.astype(np.float32) / 255.0),
+            )
+            assert status == 400 and b"uint8" in body
+        finally:
+            server.shutdown()
+            server.server_close()
 
 
 def test_meshed_predictor_matches_single_device(rng):

@@ -12,10 +12,17 @@ one program per batch bucket, and serves:
 
   * ``POST /predict`` — body is one ``.npy`` array (``np.save`` bytes) of
     shape ``(H, W, 3)`` or ``(N, H, W, 3)``, float (normalized) or uint8
-    (raw; normalized to /255 on receipt). Response: ``.npz`` bytes with ``segm``
+    (raw; normalized to /255). Response: ``.npz`` bytes with ``segm``
     ``(N, H, W)`` int32 class ids and ``depth`` ``(N, H, W, 1)`` float32.
     Each image rides the dynamic batcher independently, so concurrent
     clients coalesce into full TPU batches.
+
+``--wire_dtype uint8`` compiles the bucket programs for raw uint8 input and
+moves the /255 normalization onto the device (exact same arithmetic, an
+fp32 multiply either way) — the host->device image transfer shrinks 4x,
+which matters when PCIe/relay bandwidth, not compute, bounds request
+latency. Float bodies are rejected in this mode (a host-side round trip
+through uint8 would quantize them).
   * ``GET /healthz`` — liveness + compiled model info (JSON).
   * ``GET /stats``   — request/batch/occupancy counters (JSON).
 
@@ -101,9 +108,18 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
             return
-        # the bucket programs are AOT-compiled for float32 input; raw uint8
-        # bodies are normalized here (host-side /255 is noise next to HTTP)
-        if imgs.dtype == np.uint8:
+        if self.server.wire_dtype == np.uint8:
+            # programs are compiled for raw uint8; /255 happens on device
+            if imgs.dtype != np.uint8:
+                self._send_json(
+                    400,
+                    {
+                        "error": "server runs --wire_dtype uint8: send raw "
+                        f"uint8 images, not {imgs.dtype}"
+                    },
+                )
+                return
+        elif imgs.dtype == np.uint8:
             imgs = imgs.astype(np.float32) / 255.0
         else:
             imgs = imgs.astype(np.float32, copy=False)
@@ -132,12 +148,14 @@ class MTLHTTPServer(ThreadingHTTPServer):
         sample_shape: t.Tuple[int, int, int],
         model_info: t.Dict[str, t.Any],
         verbose: bool = False,
+        wire_dtype: t.Any = np.float32,
     ):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.sample_shape = sample_shape
         self.model_info = model_info
         self.verbose = verbose
+        self.wire_dtype = np.dtype(wire_dtype).type
 
 
 def make_server(
@@ -147,12 +165,15 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 0,
     verbose: bool = False,
+    wire_dtype: t.Any = np.float32,
 ) -> MTLHTTPServer:
     """Bind (but don't start) the HTTP front end; ``port=0`` picks a free
     port (``server.server_address[1]``). Call ``serve_forever()`` or drive
-    it from a thread (tests do)."""
+    it from a thread (tests do). ``wire_dtype`` must match the batcher's
+    compiled input dtype."""
     return MTLHTTPServer(
-        (host, port), batcher, sample_shape, model_info or {}, verbose
+        (host, port), batcher, sample_shape, model_info or {}, verbose,
+        wire_dtype=wire_dtype,
     )
 
 
@@ -186,6 +207,13 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
         help="comma-separated batch bucket sizes to AOT-compile",
     )
     p.add_argument("--max_wait_ms", type=float, default=2.0)
+    p.add_argument(
+        "--wire_dtype",
+        choices=("float32", "uint8"),
+        default="float32",
+        help="compiled input dtype; uint8 shrinks the H2D image transfer "
+        "4x and normalizes on device (clients must then send raw uint8)",
+    )
     p.add_argument(
         "--device",
         default="tpu",
@@ -248,9 +276,11 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
             "height": data_cfg.height,
             "width": data_cfg.width,
             "buckets": list(buckets),
+            "wire_dtype": args.wire_dtype,
         }
     )
 
+    wire_dtype = np.dtype(args.wire_dtype).type
     print(f"compiling {len(buckets)} bucket programs {list(buckets)} ...")
     batcher = BatchingServer(
         model,
@@ -259,6 +289,7 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
         data_cfg.width,
         buckets=buckets,
         max_wait_ms=args.max_wait_ms,
+        dtype=jnp.uint8 if wire_dtype == np.uint8 else jnp.float32,
     )
     server = make_server(
         batcher,
@@ -267,6 +298,7 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
         host=args.host,
         port=args.port,
         verbose=args.verbose,
+        wire_dtype=wire_dtype,
     )
     host, port = server.server_address[:2]
     print(f"serving {info['model']} on http://{host}:{port}  (POST /predict)")

@@ -185,6 +185,7 @@ class BatchingServer:
             for b in self._buckets
         }
         self._sample_shape = (height, width, channels)
+        self._wire_uint8 = np.dtype(dtype) == np.uint8
         self._max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.Queue[t.Optional[tuple]]" = queue.Queue()
         self._closed = False
@@ -218,6 +219,10 @@ class BatchingServer:
             raise ValueError(
                 f"expected one image of shape {self._sample_shape}, "
                 f"got {img.shape}"
+            )
+        if self._wire_uint8 and img.dtype != np.uint8:
+            raise ValueError(
+                f"server compiled for uint8 wire input, got {img.dtype}"
             )
         fut: "concurrent.futures.Future" = concurrent.futures.Future()
         with self._lock:
