@@ -62,6 +62,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the 8 bucket programs (Predictor sweep +
+    # the batcher's own instances) dedupe across and within runs
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from vision_mtl_tpu.serving import BatchingServer, Predictor, latency_bench
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
