@@ -142,8 +142,11 @@ def main() -> None:
                 lats.append(time.perf_counter() - t0)
             return float(np.median(lats))
 
-        # warm the queue path
+        # warm every bucket program + the queue path, then zero the
+        # counters so the reported stats cover only the timed window
+        server.warmup()
         server.predict(img)
+        server.reset_stats()
         t0 = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(args.clients) as ex:
             medians = list(ex.map(client, range(args.clients)))

@@ -134,6 +134,47 @@ def test_batching_server_coalesces_and_counts(model_state):
         srv.close()
 
 
+def test_batching_server_survives_client_cancel(model_state, rng):
+    """A client cancelling a pending future must not kill the fetch thread
+    (pre-fix: set_result raised InvalidStateError, the dispatch worker then
+    wedged at the bounded in-flight queue and close() hung forever)."""
+    model, state = model_state
+    srv = BatchingServer(
+        model, state, height=16, width=16, buckets=(2,), max_wait_ms=500.0
+    )
+    try:
+        img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+        # long max_wait: the first request sits pending long enough to cancel
+        doomed = srv.submit(img)
+        assert doomed.cancel()
+        # a second request fills the batch and must still resolve normally
+        ok = srv.submit(img)
+        second = srv.submit(img)  # forces a flush of the first batch
+        out = ok.result(timeout=60)
+        assert out["segm"].shape == (16, 16)
+        second.result(timeout=60)
+        assert doomed.cancelled()
+    finally:
+        srv.close()  # pre-fix this hung; the test harness timeout caught it
+
+
+def test_batching_server_warmup_and_reset_stats(model_state):
+    model, state = model_state
+    srv = BatchingServer(
+        model, state, height=16, width=16, buckets=(1, 2), max_wait_ms=1.0
+    )
+    try:
+        srv.warmup()  # runs every bucket program outside the counters
+        srv.predict(np.zeros((16, 16, 3), np.float32))
+        assert srv.stats()["requests"] == 1
+        srv.reset_stats()
+        s = srv.stats()
+        assert s["requests"] == 0 and s["batches"] == 0
+        assert s["batched_images"] == 0 and s["padded_slots"] == 0
+    finally:
+        srv.close()
+
+
 def test_batching_server_pipelined_stream(model_state, rng):
     """A sustained stream of DISTINCT images through the two-stage pipeline
     (dispatch worker + fetch thread, max_in_flight=2) demuxes every request

@@ -16,15 +16,17 @@ one program per batch bucket, and serves:
     ``(N, H, W)`` int32 class ids and ``depth`` ``(N, H, W, 1)`` float32.
     Each image rides the dynamic batcher independently, so concurrent
     clients coalesce into full TPU batches.
-
-``--wire_dtype uint8`` compiles the bucket programs for raw uint8 input and
-moves the /255 normalization onto the device (exact same arithmetic, an
-fp32 multiply either way) — the host->device image transfer shrinks 4x,
-which matters when PCIe/relay bandwidth, not compute, bounds request
-latency. Float bodies are rejected in this mode (a host-side round trip
-through uint8 would quantize them).
   * ``GET /healthz`` — liveness + compiled model info (JSON).
   * ``GET /stats``   — request/batch/occupancy counters (JSON).
+
+``--wire_dtype uint8`` compiles the bucket programs for raw uint8 input and
+moves the /255 normalization onto the device (an fp32 divide either way;
+verified numerically equivalent to host-side normalization on CPU —
+tests/test_wire_format.py — though TPU rounding of the divide is not
+guaranteed bit-identical to numpy's) — the host->device image transfer
+shrinks 4x, which matters when PCIe/relay bandwidth, not compute, bounds
+request latency. Float bodies are rejected in this mode (a host-side round
+trip through uint8 would quantize them).
 
 ``--demo`` starts without a checkpoint (fresh weights on the synthetic
 config) for smoke runs and tests.

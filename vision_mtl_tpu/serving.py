@@ -236,6 +236,26 @@ class BatchingServer:
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(img).result()
 
+    def warmup(self) -> None:
+        """Execute every compiled bucket program once on a dummy image.
+
+        AOT compilation already happened in the constructor, but a program's
+        first execution still pays one-time costs (executable load, transfer
+        path setup). Call this before timing so no bucket's first run lands
+        inside a measured window; pair with :meth:`reset_stats`."""
+        dummy = np.zeros(
+            self._sample_shape,
+            dtype=np.uint8 if self._wire_uint8 else np.float32,
+        )[None]
+        for pred in self._predictors.values():
+            pred.fetch(*pred.dispatch(dummy))
+
+    def reset_stats(self) -> None:
+        """Zero the request/batch/occupancy counters (e.g. after warm-up)."""
+        with self._lock:
+            for k in self._stats:
+                self._stats[k] = 0
+
     def stats(self) -> t.Dict[str, float]:
         with self._lock:
             s = dict(self._stats)
@@ -261,6 +281,25 @@ class BatchingServer:
         self.close()
 
     # -- worker side ------------------------------------------------------
+
+    @staticmethod
+    def _resolve(
+        fut: "concurrent.futures.Future",
+        result: t.Any = None,
+        exc: t.Optional[BaseException] = None,
+    ) -> None:
+        """Resolve a request future, tolerating client-side ``cancel()``.
+
+        A pending Future is cancellable until someone marks it running; a
+        client cancelling between submit and dispatch would otherwise make
+        ``set_result`` raise InvalidStateError and kill the fetch thread
+        (wedging the dispatch worker at the bounded in-flight queue)."""
+        if not fut.set_running_or_notify_cancel():
+            return  # client cancelled while the request was pending
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
 
     def _run(self) -> None:
         max_bucket = self._buckets[-1]
@@ -299,7 +338,7 @@ class BatchingServer:
             out, _ = self._predictors[bucket].dispatch(imgs)
         except Exception as e:  # resolve, don't kill the worker
             for _, fut in pending:
-                fut.set_exception(e)
+                self._resolve(fut, exc=e)
             return
         with self._lock:
             self._stats["batches"] += 1
@@ -317,10 +356,10 @@ class BatchingServer:
                 host = self._predictors[bucket].fetch(out, len(pending))
             except Exception as e:
                 for _, fut in pending:
-                    fut.set_exception(e)
+                    self._resolve(fut, exc=e)
                 continue
             for i, (_, fut) in enumerate(pending):
-                fut.set_result({k: v[i] for k, v in host.items()})
+                self._resolve(fut, {k: v[i] for k, v in host.items()})
 
 
 def export_model(
