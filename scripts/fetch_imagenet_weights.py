@@ -13,8 +13,13 @@ host; it downloads the timm checkpoint and saves the state_dict as the
 
 Then ``--backbone_weights imagenet`` works everywhere (copy the npz to
 offline hosts). Sources tried in order:
-  1. timm (``timm.create_model('mobilenetv3_large_100', pretrained=True)``)
-  2. torch.hub direct URL of the same checkpoint (no timm needed)
+  1. ``--from_file <path>`` — a LOCAL timm checkpoint you already have
+     (``.pth``/``.bin`` torch state_dict or an ``.npz``); no network or
+     timm needed. The supported route for "(P)" parity on offline hosts:
+     download ``mobilenetv3_large_100_ra-f55367f5.pth`` anywhere, drop the
+     file, run this (docs/MIGRATION.md).
+  2. timm (``timm.create_model('mobilenetv3_large_100', pretrained=True)``)
+  3. torch.hub direct URL of the same checkpoint (no timm needed)
 """
 
 from __future__ import annotations
@@ -54,6 +59,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=DEFAULT_WEIGHTS)
     p.add_argument("--force", action="store_true")
+    p.add_argument(
+        "--from_file",
+        default=None,
+        help="local timm mobilenetv3_large_100 checkpoint (.pth/.bin torch "
+        "state_dict or .npz) — converts without network or timm installed",
+    )
     args = p.parse_args()
 
     if os.path.exists(args.out) and not args.force:
@@ -62,24 +73,34 @@ def main() -> None:
 
     sd = None
     errors = []
-    for name, fn in (("timm", _state_dict_via_timm), ("torch.hub", _state_dict_via_hub)):
-        try:
-            sd = fn()
-            print(f"fetched state_dict via {name} ({len(sd)} tensors)")
-            break
-        except Exception as e:
-            errors.append(f"{name}: {type(e).__name__}: {e}")
+    if args.from_file:
+        from vision_mtl_tpu.utils.torch_port import load_state_dict_file
+
+        sd = load_state_dict_file(args.from_file)
+        print(f"loaded local state_dict {args.from_file} ({len(sd)} tensors)")
+    else:
+        for name, fn in (("timm", _state_dict_via_timm), ("torch.hub", _state_dict_via_hub)):
+            try:
+                sd = fn()
+                print(f"fetched state_dict via {name} ({len(sd)} tensors)")
+                break
+            except Exception as e:
+                errors.append(f"{name}: {type(e).__name__}: {e}")
     if sd is None:
         raise SystemExit(
             "Could not fetch weights (no network egress?):\n  "
             + "\n  ".join(errors)
-            + f"\nOn an online host, place a mobilenetv3_large_100 "
-            f"state_dict at {args.out} (or .pth) manually."
+            + f"\nEither pass --from_file <local checkpoint> or place a "
+            f"mobilenetv3_large_100 state_dict at {args.out} (or .pth) "
+            f"manually."
         )
 
     out = args.out if args.out.endswith(".npz") else args.out + ".npz"
     os.makedirs(os.path.dirname(out) or WEIGHTS_DIR, exist_ok=True)
-    arrays = {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
+    arrays = {
+        k: np.asarray(v if isinstance(v, np.ndarray) else v.detach().cpu().numpy())
+        for k, v in sd.items()
+    }
     np.savez(out, **arrays)
     print(f"saved {len(arrays)} arrays -> {out}")
 

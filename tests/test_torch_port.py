@@ -249,7 +249,7 @@ def test_fetch_script_saves_converter_ready_npz(rng, tmp_path, monkeypatch):
         loaded["conv_stem.weight"], sd["conv_stem.weight"].numpy()
     )
 
-    # offline: both sources fail -> actionable SystemExit
+    # offline: both sources fail -> actionable SystemExit naming --from_file
     def boom():
         raise OSError("no egress")
 
@@ -257,5 +257,45 @@ def test_fetch_script_saves_converter_ready_npz(rng, tmp_path, monkeypatch):
     monkeypatch.setattr(mod, "_state_dict_via_hub", boom)
     out2 = tmp_path / "w2.npz"
     monkeypatch.setattr(sys, "argv", ["fetch", "--out", str(out2)])
-    with pytest.raises(SystemExit, match="egress"):
+    with pytest.raises(SystemExit, match="from_file"):
         mod.main()
+
+    # --from_file: a local torch .pth converts with no network and no timm
+    # (the supported offline "(P)" route — docs/MIGRATION.md)
+    pth = tmp_path / "mobilenetv3_large_100_ra-f55367f5.pth"
+    torch.save({k: v for k, v in sd.items()}, str(pth))
+    out3 = tmp_path / "w3.npz"
+    monkeypatch.setattr(
+        sys, "argv", ["fetch", "--from_file", str(pth), "--out", str(out3)]
+    )
+    mod.main()
+    loaded3 = load_state_dict_file(str(out3))
+    np.testing.assert_allclose(
+        loaded3["conv_stem.weight"], sd["conv_stem.weight"].numpy()
+    )
+
+
+def test_converter_golden_digest(tmp_path):
+    """Fixed-weight golden fixture: the converter's output on a
+    DETERMINISTIC state_dict must never drift (layout mapping is part of
+    the checkpoint-compat contract — reference utils/model_utils.py:25-34).
+    The digest covers every converted leaf (params + batch stats) in
+    path-sorted order."""
+    import hashlib
+
+    rng = np.random.default_rng(12345)
+    sd = _rand_sd(rng)
+    params, stats = convert_encoder_state_dict(sd)
+    h = hashlib.sha256()
+    for tree in (params, stats):
+        for path, leaf in sorted(
+            jax.tree_util.tree_flatten_with_path(tree)[0],
+            key=lambda kv: str(kv[0]),
+        ):
+            h.update(str(path).encode())
+            h.update(
+                np.ascontiguousarray(np.asarray(leaf, np.float32)).tobytes()
+            )
+    assert h.hexdigest() == (
+        "f9d00b71b5cc2908dfd872e9d16f82b091bd8d7e30941b15f2f1d51ff0766e72"
+    )

@@ -81,12 +81,14 @@ def _build_jax_model(model_name):
     raise ValueError(model_name)
 
 
-def _init_state(model_name, model):
+def _init_state(model_name, model, seed=0):
     """Identical-init weights for both sides; basic/csnet graft random
-    timm-layout encoders (converted exactly) like the trajectory tests."""
-    rng = np.random.default_rng(37)
+    timm-layout encoders (converted exactly) like the trajectory tests.
+    ``seed`` varies the weight draw for the seed-ensemble study (both
+    frameworks still start from the SAME weights for a given seed)."""
+    rng = np.random.default_rng(37 + seed)
     state = create_train_state(
-        model, jax.random.key(0), jnp.zeros((BS, 64, 64, 3)), lr=LR
+        model, jax.random.key(seed), jnp.zeros((BS, 64, 64, 3)), lr=LR
     )
     params = jax.device_get(state.params)
     stats = jax.device_get(state.batch_stats)
@@ -106,9 +108,9 @@ def _init_state(model_name, model):
     return state, params, stats, sds
 
 
-def _datamodule():
+def _datamodule(seed=0):
     return MTLDataModule(
-        "synthetic", batch_size=BS, seed=SEED, wire_format="f32"
+        "synthetic", batch_size=BS, seed=SEED + seed, wire_format="f32"
     )
 
 
@@ -130,10 +132,10 @@ def _args(epochs):
 # ---------------------------------------------------------------- jax side
 
 
-def run_jax_side(model_name, epochs):
+def run_jax_side(model_name, epochs, seed=0):
     model = _build_jax_model(model_name)
-    state, _, _, _ = _init_state(model_name, model)
-    dm = _datamodule()
+    state, _, _, _ = _init_state(model_name, model, seed)
+    dm = _datamodule(seed)
     dm.setup()
 
     class _Logger:
@@ -190,9 +192,9 @@ def _accumulate(mstate, out, mask_np, depth_np, losses):
     )
 
 
-def run_torch_side(model_name, epochs):
+def run_torch_side(model_name, epochs, seed=0):
     model = _build_jax_model(model_name)
-    _, params_np, stats_np, sds_np = _init_state(model_name, model)
+    _, params_np, stats_np, sds_np = _init_state(model_name, model, seed)
 
     # torch ownership: encoders stay in timm layout; everything else in the
     # flax layout the twins read directly; running stats are PERSISTENT
@@ -241,7 +243,7 @@ def run_torch_side(model_name, epochs):
             return twin._torch_mtan(x_t, tparams, tstats, n_levels, TASKS)
         return twin._torch_csnet(x_t, sds_t, tparams, tstats, TASKS)
 
-    dm = _datamodule()
+    dm = _datamodule(seed)
     dm.setup()
     train_loader = dm.train_dataloader()  # ONE instance: seeded reshuffle
 
@@ -362,36 +364,83 @@ def test_generalization_parity(model_name):
 # ---------------------------------------------------------------- script
 
 
+METRICS = ("loss", "accuracy", "jaccard_index", "fbeta_score", "mae")
+
+
 def main():
+    """Seed-ensemble twin-generalization study (VERDICT r3 #1).
+
+    Long-format CSV: one row per (model, seed, framework) with the final
+    val metrics; stdout summarizes mean±std per model/framework plus the
+    PAIRED jax-torch gap vs the torch seed spread — the statistic that
+    separates systematic bias from chaotic trajectory divergence."""
     p = std_argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument(
         "--models", nargs="*", default=["basic", "mtan", "csnet"]
     )
+    p.add_argument("--seeds", nargs="*", type=int, default=[0])
     p.add_argument(
-        "--out", default="docs/assets/twin_generalization_r3.csv"
+        "--torch_bn_var",
+        action="store_true",
+        help="jax side uses torch's unbiased BN running-var update "
+        "(docs/QUIRKS.md #11 ablation arm)",
+    )
+    p.add_argument(
+        "--out", default="docs/assets/twin_generalization_r4.csv"
     )
     args = p.parse_args()
 
-    rows = {}
-    for name in args.models:
-        print(f"=== {name}: jax side ({args.epochs} epochs) ===")
-        jm = run_jax_side(name, args.epochs)
-        print(f"=== {name}: torch side ({args.epochs} epochs) ===")
-        tm = run_torch_side(name, args.epochs)
-        for metric in ("loss", "accuracy", "jaccard_index", "fbeta_score", "mae"):
-            rows.setdefault(metric, {})[f"{name}_jax"] = jm[f"val/{metric}"][-1]
-            rows[metric][f"{name}_torch"] = tm[f"val/{metric}"][-1]
-        print(name, {k: (v[f"{name}_jax"], v[f"{name}_torch"]) for k, v in rows.items()})
+    if args.torch_bn_var:
+        from vision_mtl_tpu.models.blocks import set_torch_bn_running_var
 
-    cols = sorted({c for r in rows.values() for c in r})
+        set_torch_bn_running_var(True)
+
+    rows = []  # (model, seed, framework, {metric: value})
+    for name in args.models:
+        for seed in args.seeds:
+            print(f"=== {name} seed {seed}: jax ({args.epochs} epochs) ===")
+            jm = run_jax_side(name, args.epochs, seed)
+            print(f"=== {name} seed {seed}: torch ({args.epochs} epochs) ===")
+            tm = run_torch_side(name, args.epochs, seed)
+            rows.append(
+                (name, seed, "jax", {m: jm[f"val/{m}"][-1] for m in METRICS})
+            )
+            rows.append(
+                (name, seed, "torch", {m: tm[f"val/{m}"][-1] for m in METRICS})
+            )
+            print(
+                name, seed,
+                {m: (rows[-2][3][m], rows[-1][3][m]) for m in METRICS},
+                flush=True,
+            )
+
     with open(args.out, "w") as f:
-        f.write("," + ",".join(cols) + "\n")
-        for metric, r in rows.items():
+        f.write("model,seed,framework," + ",".join(METRICS) + "\n")
+        for name, seed, fw, vals in rows:
             f.write(
-                metric + "," + ",".join(f"{r[c]:.4g}" for c in cols) + "\n"
+                f"{name},{seed},{fw},"
+                + ",".join(f"{vals[m]:.6g}" for m in METRICS)
+                + "\n"
             )
     print(f"wrote {args.out}")
+
+    # summary: per-model mean±std per framework + paired-gap statistics
+    for name in args.models:
+        print(f"--- {name} (n={len(args.seeds)} seeds) ---")
+        for m in METRICS:
+            j = np.array(
+                [v[m] for n_, s_, fw, v in rows if n_ == name and fw == "jax"]
+            )
+            t = np.array(
+                [v[m] for n_, s_, fw, v in rows if n_ == name and fw == "torch"]
+            )
+            gap = j - t
+            print(
+                f"  {m:14s} jax {j.mean():.4f}±{j.std(ddof=1) if len(j) > 1 else 0:.4f}  "
+                f"torch {t.mean():.4f}±{t.std(ddof=1) if len(t) > 1 else 0:.4f}  "
+                f"paired gap {gap.mean():+.4f}±{gap.std(ddof=1) if len(gap) > 1 else 0:.4f}"
+            )
 
 
 if __name__ == "__main__":

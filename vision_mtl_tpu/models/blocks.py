@@ -9,11 +9,29 @@ compute in the configured dtype (bfloat16 by default) to hit the MXU.
 
 from __future__ import annotations
 
+import os
 import typing as t
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+#: When True, BatchNorm running-variance updates use torch's UNBIASED
+#: (N/(N-1)) estimator instead of flax's biased one — the last documented
+#: numeric divergence from the reference (docs/QUIRKS.md #11). Off by
+#: default (flax semantics); flip with --torch_bn_var / VMTL_TORCH_BN_VAR=1
+#: or set_torch_bn_running_var(). Read at TRACE time; param/stat trees are
+#: identical either way, so checkpoints are interchangeable.
+_TORCH_BN_VAR = os.environ.get("VMTL_TORCH_BN_VAR", "0") == "1"
+
+
+def set_torch_bn_running_var(enabled: bool) -> None:
+    global _TORCH_BN_VAR
+    _TORCH_BN_VAR = bool(enabled)
+
+
+def torch_bn_running_var() -> bool:
+    return _TORCH_BN_VAR
 
 # torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)),
 # fan_in = in_ch * kh * kw. variance_scaling limit = sqrt(3*scale/fan_in).
@@ -77,6 +95,69 @@ class Conv(nn.Module):
         )(x)
 
 
+class TorchVarBatchNorm(nn.Module):
+    """``nn.BatchNorm`` drop-in (identical param/stat layout: ``scale``/
+    ``bias`` params, ``batch_stats`` ``mean``/``var``) whose running-var
+    update uses torch's UNBIASED (N/(N-1)) batch variance — torch
+    ``_BatchNorm.forward``'s semantics exactly. Normalization itself uses
+    the biased variance in train mode, as both frameworks do.
+    """
+
+    use_running_average: t.Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: t.Optional[t.Any] = None
+    param_dtype: t.Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, use_running_average: t.Optional[bool] = None
+    ) -> jax.Array:
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        c = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (c,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (c,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", jnp.zeros, (c,), self.param_dtype
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", jnp.ones, (c,), self.param_dtype
+        )
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        if ura:
+            m, v = ra_mean.value, ra_var.value
+        else:
+            m = jnp.mean(xf, axis=axes)
+            v = jnp.mean(jnp.square(xf - m), axis=axes)
+            if not self.is_initializing():
+                n = x.size // c
+                unbiased = v * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * m
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * unbiased
+                )
+        y = (xf - m) * jax.lax.rsqrt(v + self.epsilon) * scale.astype(
+            jnp.float32
+        ) + bias.astype(jnp.float32)
+        return y.astype(self.dtype or x.dtype)
+
+
+def bn_class() -> t.Any:
+    """The raw-BN class honoring the torch-running-var switch; same call
+    surface and param layout either way."""
+    return TorchVarBatchNorm if _TORCH_BN_VAR else nn.BatchNorm
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults.
 
@@ -86,6 +167,10 @@ class BatchNorm(nn.Module):
     internally). Under jit over a sharded batch the reductions become global
     collectives automatically (GSPMD), giving cross-replica-synced BN for
     free.
+
+    With the torch-running-var switch on (docs/QUIRKS.md #11) the child is
+    :class:`TorchVarBatchNorm` at the SAME param path — checkpoints are
+    interchangeable across the switch.
     """
 
     use_running_average: bool
@@ -94,12 +179,13 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.BatchNorm(
+        return bn_class()(
             use_running_average=self.use_running_average,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=x.dtype,
             param_dtype=jnp.float32,
+            name="BatchNorm_0",
         )(x)
 
 
@@ -238,8 +324,12 @@ class FoldedBatchNorm(nn.Module):
         else:
             m, v = folded_batch_stats(y)
             if not self.is_initializing():
+                v_upd = v
+                if _TORCH_BN_VAR:  # unbiased running update (QUIRKS #11)
+                    n = y.size // c  # 4 tied phases all contribute
+                    v_upd = v * (n / max(n - 1, 1))
                 mean_v.value = self.momentum * mean_v.value + (1 - self.momentum) * m
-                var_v.value = self.momentum * var_v.value + (1 - self.momentum) * v
+                var_v.value = self.momentum * var_v.value + (1 - self.momentum) * v_upd
         return folded_batch_norm(y, m, v, scale, bias, self.epsilon)
 
 

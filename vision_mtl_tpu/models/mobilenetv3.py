@@ -166,10 +166,14 @@ class MobileNetV3Encoder(nn.Module):
         self.conv_head = Conv(
             CONV_HEAD_CH, (1, 1), use_bias=False, dtype=self.dtype
         )
-        self._stem_bn = nn.BatchNorm(
+        # bn_class: honors the torch-running-var switch (QUIRKS #11) with
+        # the same param layout, so `_stem_bn`/`_head_bn` paths are stable
+        from vision_mtl_tpu.models.blocks import bn_class
+
+        self._stem_bn = bn_class()(
             momentum=0.9, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
         )
-        self._head_bn = nn.BatchNorm(
+        self._head_bn = bn_class()(
             momentum=0.9, epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32
         )
 

@@ -21,6 +21,14 @@ from vision_mtl_tpu.cfg import DataConfig
 def build_model(
     args: argparse.Namespace, data_cfg: DataConfig, dtype: t.Any = jnp.bfloat16
 ) -> nn.Module:
+    # global trace-time switch (same param tree either way); set here so
+    # every construction surface — CLI, eval harness reloading a run's
+    # train_args.yaml, serving — applies the run's recorded BN semantics
+    if hasattr(args, "torch_bn_var"):
+        from vision_mtl_tpu.models.blocks import set_torch_bn_running_var
+
+        set_torch_bn_running_var(bool(args.torch_bn_var))
+
     model_name = getattr(args, "model_name", "basic")
     if model_name == "basic":
         from vision_mtl_tpu.models.basic import BasicMTLModel

@@ -155,6 +155,14 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         "exactly (train/preempt.py).",
     )
     tpu_args.add_argument(
+        "--torch_bn_var",
+        action="store_true",
+        help="BatchNorm running-var updates use torch's unbiased (N/(N-1)) "
+        "estimator instead of flax's biased one — exact-torch eval-mode "
+        "activations (docs/QUIRKS.md #11). Checkpoints are compatible "
+        "either way.",
+    )
+    tpu_args.add_argument(
         "--grad_accum_steps",
         type=int,
         default=1,
