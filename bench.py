@@ -52,6 +52,7 @@ def measure(
     remat_encoder: bool = False,
     remat_attention: bool = False,
     remat_shared: bool = False,
+    fold_tasks: bool = False,
     grad_accum_steps: int = 1,
 ) -> float:
     """Measured train-step throughput (images/sec/chip) on device-resident
@@ -75,6 +76,7 @@ def measure(
         remat_encoder=remat_encoder,
         remat_attention=remat_attention,
         remat_shared=remat_shared,
+        fold_tasks=fold_tasks,
     )
     model = build_model(model_args, data_cfg, dtype=jnp.bfloat16)
 
@@ -171,6 +173,11 @@ def main() -> None:
         "(high-resolution memory opt-in)",
     )
     p.add_argument(
+        "--fold_tasks", action="store_true",
+        help="MTAN: run the per-task attention streams as one vmapped "
+        "call per level (VERDICT r3 hypothesis 4a measurement)",
+    )
+    p.add_argument(
         "--grad_accum_steps", type=int, default=1,
         help="microbatches per optimizer step (lax.scan inside the "
         "compiled program; ghost-BN semantics) — peak activation memory "
@@ -221,6 +228,7 @@ def main() -> None:
                 remat_encoder=args.remat_encoder,
                 remat_attention=args.remat_attention,
                 remat_shared=args.remat_shared,
+                fold_tasks=args.fold_tasks,
                 grad_accum_steps=args.grad_accum_steps,
             ),
             2,

@@ -389,7 +389,16 @@ def main():
     p.add_argument(
         "--out", default="docs/assets/twin_generalization_r4.csv"
     )
+    p.add_argument(
+        "--device", default="cpu:1", help="'cpu[:N]' or 'tpu' (args.select_backend)"
+    )
     args = p.parse_args()
+
+    # as a script there is no conftest to force the CPU backend; tiny
+    # shapes on the relay TPU would pay ~minutes of remote compile each
+    from vision_mtl_tpu.utils.args import select_backend
+
+    select_backend(args.device)
 
     if args.torch_bn_var:
         from vision_mtl_tpu.models.blocks import set_torch_bn_running_var

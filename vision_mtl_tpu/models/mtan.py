@@ -234,6 +234,13 @@ class MTANMiniUnet(nn.Module):
     # bottleneck, dec levels) — the other half of MTAN's activation
     # memory; for high-resolution configs that otherwise cannot compile
     remat_shared: bool = False
+    # fold the T per-task attention streams into one leading axis via
+    # nn.vmap: each level's T attention modules run as ONE vmapped call
+    # (XLA lowers the per-task convs as single grouped/batched ops instead
+    # of T separate dispatches). Exactly the same math per task; params
+    # live STACKED (leading T axis) under enc/dec_attn_{i}_folded — use
+    # fold_task_variables() to convert an unfolded checkpoint.
+    fold_tasks: bool = False
     dtype: t.Any = jnp.bfloat16
 
     @nn.compact
@@ -259,27 +266,52 @@ class MTANMiniUnet(nn.Module):
         ]
         dec_out = enc_out[::-1]
 
+        def vmap_tasks(module_cls, prev_axis):
+            """Lift a per-task attention module over a leading task axis:
+            stacked params/stats (T, ...), shared inputs broadcast, the
+            previous task stream mapped on ``prev_axis``."""
+            return nn.vmap(
+                module_cls,
+                in_axes=prev_axis,
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+                axis_size=n_tasks,
+            )
+
         # ---- encoder: shared DoubleConv levels + per-task gated streams ----
         shared = x
-        task_streams: t.List[t.Optional[jax.Array]] = [None] * n_tasks
+        task_streams: t.Any = [None] * n_tasks  # folded mode: (T,B,H,W,C)
         encoder_features: t.List[jax.Array] = []
         for i, ch in enumerate(enc_out):
             level_in = shared
             dconv_out = DConv(ch, dtype=self.dtype, name=f"enc_dconv_{i}")(
                 level_in, train
             )
-            new_streams: t.List[jax.Array] = []
-            for ti in range(n_tasks):
-                new_streams.append(
-                    AttnEnc(
-                        out_channels=ch,
-                        shared_2_channels=ch,
-                        hidden_channels=hidden,
-                        dtype=self.dtype,
-                        name=f"enc_attn_{i}_task{ti}",
-                    )(level_in, dconv_out, task_streams[ti], train)
-                )
-            task_streams = new_streams
+            if self.fold_tasks:
+                prev = task_streams if i else None
+                task_streams = vmap_tasks(
+                    AttnEnc, (None, None, 0 if i else None, None)
+                )(
+                    out_channels=ch,
+                    shared_2_channels=ch,
+                    hidden_channels=hidden,
+                    dtype=self.dtype,
+                    name=f"enc_attn_{i}_folded",
+                )(level_in, dconv_out, prev, train)
+            else:
+                new_streams: t.List[jax.Array] = []
+                for ti in range(n_tasks):
+                    new_streams.append(
+                        AttnEnc(
+                            out_channels=ch,
+                            shared_2_channels=ch,
+                            hidden_channels=hidden,
+                            dtype=self.dtype,
+                            name=f"enc_attn_{i}_task{ti}",
+                        )(level_in, dconv_out, task_streams[ti], train)
+                    )
+                task_streams = new_streams
             encoder_features.append(dconv_out)
             shared = max_pool_2x(dconv_out)
 
@@ -305,18 +337,27 @@ class MTANMiniUnet(nn.Module):
             conv_out = DConv(ch, dtype=self.dtype, name=f"dec_dconv_{i}")(
                 merged, train
             )
-            new_streams = []
-            for ti in range(n_tasks):
-                new_streams.append(
-                    AttnDec(
-                        shared_2_channels=ch,
-                        out_channels=ch,
-                        hidden_channels=hidden,
-                        dtype=self.dtype,
-                        name=f"dec_attn_{i}_task{ti}",
-                    )(merged, task_streams[ti], conv_out, train)
-                )
-            task_streams = new_streams
+            if self.fold_tasks:
+                task_streams = vmap_tasks(AttnDec, (None, 0, None, None))(
+                    shared_2_channels=ch,
+                    out_channels=ch,
+                    hidden_channels=hidden,
+                    dtype=self.dtype,
+                    name=f"dec_attn_{i}_folded",
+                )(merged, task_streams, conv_out, train)
+            else:
+                new_streams = []
+                for ti in range(n_tasks):
+                    new_streams.append(
+                        AttnDec(
+                            shared_2_channels=ch,
+                            out_channels=ch,
+                            hidden_channels=hidden,
+                            dtype=self.dtype,
+                            name=f"dec_attn_{i}_task{ti}",
+                        )(merged, task_streams[ti], conv_out, train)
+                    )
+                task_streams = new_streams
             shared = conv_out
 
         # ---- per-task 1x1 heads on the final task streams ----
@@ -329,3 +370,37 @@ class MTANMiniUnet(nn.Module):
                 name=f"head_{task_name}",
             )(task_streams[ti])
         return out
+
+
+def fold_task_variables(
+    variables: t.Dict[str, t.Any], n_tasks: int
+) -> t.Dict[str, t.Any]:
+    """Convert unfolded MTAN variables (per-task ``*_task{ti}`` subtrees)
+    to the ``fold_tasks=True`` layout (``*_folded`` subtrees with leaves
+    stacked on a leading task axis). Exact: the folded forward then
+    reproduces the unfolded model bit-for-bit (tests/test_fold_tasks.py)."""
+    import re
+
+    import numpy as np
+
+    def fold(d: t.Dict[str, t.Any]) -> t.Dict[str, t.Any]:
+        out: t.Dict[str, t.Any] = {}
+        bases = {}
+        for k in d:
+            m = re.fullmatch(r"(.+)_task(\d+)", k)
+            if m:
+                bases.setdefault(m.group(1), {})[int(m.group(2))] = d[k]
+        for k, v in d.items():
+            if re.fullmatch(r"(.+)_task(\d+)", k):
+                continue
+            out[k] = fold(v) if isinstance(v, dict) else v
+        for base, parts in bases.items():
+            assert len(parts) == n_tasks, (base, sorted(parts))
+            stacked = jax.tree.map(
+                lambda *leaves: np.stack([np.asarray(l) for l in leaves]),
+                *[parts[ti] for ti in range(n_tasks)],
+            )
+            out[f"{base}_folded"] = stacked
+        return out
+
+    return {coll: fold(sub) for coll, sub in variables.items()}

@@ -64,6 +64,7 @@ def build_model(
             # but let activation-capped configs compile at all
             remat_attention=getattr(args, "remat_attention", False),
             remat_shared=getattr(args, "remat_shared", False),
+            fold_tasks=getattr(args, "fold_tasks", False),
             dtype=dtype,
         )
     if model_name == "csnet":

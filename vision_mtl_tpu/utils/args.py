@@ -155,6 +155,14 @@ def parse_args(argv: t.Optional[t.Sequence[str]] = None) -> argparse.Namespace:
         "exactly (train/preempt.py).",
     )
     tpu_args.add_argument(
+        "--fold_tasks",
+        action="store_true",
+        help="MTAN: run the T per-task attention streams as one vmapped "
+        "call per level (params stacked on a leading task axis; "
+        "fold_task_variables converts unfolded checkpoints). Perf "
+        "experiment — see docs/BENCH_NOTES.md for measurements.",
+    )
+    tpu_args.add_argument(
         "--torch_bn_var",
         action="store_true",
         help="BatchNorm running-var updates use torch's unbiased (N/(N-1)) "
