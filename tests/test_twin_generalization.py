@@ -340,23 +340,36 @@ def _torch_basic(x, sd, tparams, tstats):
 # ---------------------------------------------------------------- the test
 
 
+# Paired-gap bounds DERIVED from the round-4 seed-ensemble study
+# (docs/assets/twin_generalization_r4.csv; 5 seeds x 3 models x 30 epochs,
+# both frameworks from identical weights/batches). Worst measured paired
+# gap over all models: accuracy |mean|+sd = 0.0009+0.0068, loss 0.0059 +
+# 0.0198, mae 0.0003+0.0008. Bounds = |mean| + 4*sd of the WORST model's
+# paired gap (30-epoch divergence upper-bounds the 4-epoch test's):
+ACC_BOUND = 0.0009 + 4 * 0.0068  # ~0.028  (was hand-waved 0.10)
+LOSS_BOUND = 0.0059 + 4 * 0.0198  # ~0.085 absolute (was rel=0.35)
+MAE_BOUND = 0.0003 + 4 * 0.0008  # ~0.0035 (was 0.02)
+
+
 @pytest.mark.parametrize("model_name", ["mtan", "basic", "csnet"])
 def test_generalization_parity(model_name):
-    """Shortened protocol (4 epochs — full 30-epoch table lives in
-    docs/assets/twin_generalization_r3.csv, produced by running this module
-    as a script): final val metrics of the two frameworks must agree within
-    the stated bounds. Bounds reflect chaotic trajectory divergence over
-    ~24 optimizer steps plus the documented flax/torch running-var
-    estimator difference (docs/QUIRKS.md #11), NOT systematic bias."""
+    """Shortened protocol (4 epochs — the full 30-epoch seed-ensemble table
+    lives in docs/assets/twin_generalization_r4.csv, produced by running
+    this module as a script with --seeds): final val metrics of the two
+    frameworks must agree within bounds DERIVED from the measured paired
+    seed-gap spread (see constants above). The r4 study showed the paired
+    jax-torch gap is 3-10x smaller than the torch-side seed spread on every
+    metric — chaotic trajectory divergence, no systematic bias (this
+    retired the r3 single-seed MTAN '22% loss gap' finding)."""
     epochs = 4
     jm = run_jax_side(model_name, epochs)
     tm = run_torch_side(model_name, epochs)
     jl, tl = jm["val/loss"][-1], tm["val/loss"][-1]
     ja, ta = jm["val/accuracy"][-1], tm["val/accuracy"][-1]
     jd, td = jm["val/mae"][-1], tm["val/mae"][-1]
-    assert ja == pytest.approx(ta, abs=0.10), (jm, tm)
-    assert jd == pytest.approx(td, abs=0.02), (jm, tm)
-    assert jl == pytest.approx(tl, rel=0.35), (jm, tm)
+    assert ja == pytest.approx(ta, abs=ACC_BOUND), (jm, tm)
+    assert jd == pytest.approx(td, abs=MAE_BOUND), (jm, tm)
+    assert jl == pytest.approx(tl, abs=LOSS_BOUND), (jm, tm)
     # and both sides actually learned (val accuracy above chance)
     assert ja > 1.5 / NC and ta > 1.5 / NC, (jm, tm)
 
