@@ -195,6 +195,37 @@ def test_build_table_shape_and_rounding():
     assert np.all(df.values == np.round(df.values, 3))
 
 
+def test_compare_to_baseline_deltas():
+    """--compare_baseline: deltas vs the reference README tables
+    (README.md:249-255), with the tag refining basic to its HS variant."""
+    from vision_mtl_tpu.eval_harness import compare_to_baseline
+
+    results = {
+        "basic": {"loss": 4.437, "accuracy": 0.815, "jaccard_index": 0.279,
+                  "fbeta_score": 0.795, "mae": 0.041},
+        "basic_tuned": {"loss": 4.455, "accuracy": 0.783,
+                        "jaccard_index": 0.248, "fbeta_score": 0.770,
+                        "mae": 0.041},
+        "mtan": {"loss": 3.533, "accuracy": 0.870, "jaccard_index": 0.385,
+                 "fbeta_score": 0.856, "mae": 0.060},
+    }
+    df = build_table(results)
+    cmp = compare_to_baseline(
+        df, "cityscapes",
+        {"basic": "basic", "basic_tuned": "basic", "mtan": "mtan"},
+    )
+    assert list(cmp.columns) == [
+        "basic vs HS", "basic_tuned vs HS tuned", "mtan vs MTAN"
+    ]
+    assert cmp.loc["loss", "basic vs HS"] == pytest.approx(-0.100)
+    assert cmp.loc["accuracy", "basic vs HS"] == pytest.approx(0.010)
+    # the tuned tag maps to the HS tuned column -> exact match, zero delta
+    assert cmp.loc["loss", "basic_tuned vs HS tuned"] == pytest.approx(0.0)
+    assert cmp.loc["loss", "mtan vs MTAN"] == pytest.approx(-0.100)
+    # unknown dataset -> None
+    assert compare_to_baseline(df, "synthetic", {}) is None
+
+
 def test_evaluate_run_reconstructs_model_config(tmp_path, monkeypatch):
     """evaluate_run must rebuild the architecture from the run's own
     train_args.yaml (e.g. a csnet trained WITHOUT channel-wise stitching

@@ -146,6 +146,80 @@ def build_table(results: t.Dict[str, t.Dict[str, float]]) -> pd.DataFrame:
     return df.round(3)
 
 
+#: The reference's published validation tables — the quality north star
+#: (reference README.md:249-255 / :270-276; produced by its
+#: get_model_metrics.ipynb). Keys: (dataset, baseline column).
+REFERENCE_BASELINES: t.Dict[str, t.Dict[str, t.Dict[str, float]]] = {
+    "cityscapes": {
+        "HS": {"loss": 4.537, "accuracy": 0.805, "jaccard_index": 0.279,
+               "fbeta_score": 0.795, "mae": 0.043},
+        "HS (P)": {"loss": 3.395, "accuracy": 0.856, "jaccard_index": 0.358,
+                   "fbeta_score": 0.851, "mae": 0.045},
+        "HS tuned": {"loss": 4.455, "accuracy": 0.783, "jaccard_index": 0.248,
+                     "fbeta_score": 0.770, "mae": 0.041},
+        "CSNet": {"loss": 5.912, "accuracy": 0.753, "jaccard_index": 0.222,
+                  "fbeta_score": 0.731, "mae": 0.057},
+        "MTAN": {"loss": 3.633, "accuracy": 0.860, "jaccard_index": 0.385,
+                 "fbeta_score": 0.856, "mae": 0.060},
+    },
+    "nyuv2": {
+        "HS": {"loss": 4.893, "accuracy": 0.511, "jaccard_index": 0.226,
+               "fbeta_score": 0.501, "mae": 0.049},
+        "HS (P)": {"loss": 4.904, "accuracy": 0.508, "jaccard_index": 0.222,
+                   "fbeta_score": 0.496, "mae": 0.050},
+        "HS tuned": {"loss": 6.048, "accuracy": 0.329, "jaccard_index": 0.109,
+                     "fbeta_score": 0.307, "mae": 0.079},
+        "CSNet": {"loss": 5.978, "accuracy": 0.411, "jaccard_index": 0.136,
+                  "fbeta_score": 0.366, "mae": 0.083},
+        "MTAN": {"loss": 5.759, "accuracy": 0.501, "jaccard_index": 0.223,
+                 "fbeta_score": 0.483, "mae": 0.073},
+    },
+}
+
+#: model_name -> reference baseline column; tags containing "P"/"tuned"
+#: refine basic to the matching HS variant (see _baseline_column)
+_MODEL_TO_BASELINE = {"basic": "HS", "csnet": "CSNet", "mtan": "MTAN"}
+
+
+def _baseline_column(model_name: str, tag: str) -> t.Optional[str]:
+    col = _MODEL_TO_BASELINE.get(model_name)
+    if col == "HS":
+        low = tag.lower()
+        if "tuned" in low or "best_trial" in low:
+            return "HS tuned"
+        if "(p)" in low or low.endswith("_p") or "pretrained" in low:
+            return "HS (P)"
+    return col
+
+
+def compare_to_baseline(
+    df: pd.DataFrame,
+    dataset_name: str,
+    tag_to_model: t.Dict[str, str],
+) -> t.Optional[pd.DataFrame]:
+    """Delta table vs the reference README numbers: ours - reference per
+    metric (negative loss/mae deltas and positive accuracy/jaccard/fbeta
+    deltas are improvements). Returns None when the dataset has no
+    published table."""
+    base = REFERENCE_BASELINES.get(dataset_name)
+    if not base:
+        return None
+    deltas: t.Dict[str, t.Dict[str, float]] = {}
+    for tag in df.columns:
+        col = _baseline_column(tag_to_model.get(tag, tag), tag)
+        if col is None or col not in base:
+            continue
+        deltas[f"{tag} vs {col}"] = {
+            m: float(df.loc[m, tag]) - ref
+            for m, ref in base[col].items()
+            if m in df.index and pd.notna(df.loc[m, tag])
+        }
+    if not deltas:
+        return None
+    out = pd.DataFrame(deltas).reindex(METRIC_ORDER)
+    return out.round(3)
+
+
 def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_name", default="cityscapes")
@@ -174,6 +248,13 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
         help="registry file override (default: {log_root}/run_registry.json)",
     )
     p.add_argument("--out", default=None, help="CSV output path")
+    p.add_argument(
+        "--compare_baseline",
+        action="store_true",
+        help="also print deltas vs the reference README validation tables "
+        "(README.md:249-255/:270-276) — meaningful only when evaluating "
+        "on the REAL Cityscapes/NYUv2 data, not synthetic trees",
+    )
     args = p.parse_args(argv)
     if bool(args.runs) == bool(args.from_registry):
         raise SystemExit("pass exactly one of --runs / --from_registry")
@@ -216,6 +297,18 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
 
     df = build_table(results)
     print(df.to_string())
+    if args.compare_baseline:
+        cmp = compare_to_baseline(
+            df, args.dataset_name, {tag: m for tag, m, _ in todo}
+        )
+        if cmp is None:
+            print("(no reference baseline table for this dataset)")
+        else:
+            print(
+                "\ndelta vs reference README (ours - reference; loss/mae "
+                "negative = better, others positive = better):"
+            )
+            print(cmp.to_string())
     if args.out:
         df.to_csv(args.out)
         print(f"Wrote {args.out}")
