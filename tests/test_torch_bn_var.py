@@ -187,3 +187,42 @@ def test_folded_bn_matches_unfolded_under_switch(torch_bn_flag):
         rtol=1e-5,
         atol=1e-7,
     )
+
+
+def test_gatechain_honors_switch(torch_bn_flag):
+    """MTAN's GateChain BNs must also use the unbiased running-var update
+    under the switch (round-4 advisor: the reference MTAN attention BNs are
+    torch BatchNorm2d). With the switch on, var1/var2 running values equal
+    momentum*1 + (1-momentum)*batch_var*N/(N-1); off, the biased update."""
+    from vision_mtl_tpu.models.mtan import GateChain
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
+    shared = jnp.asarray(rng.normal(size=(2, 4, 4, 5)).astype(np.float32))
+    module = GateChain(hidden=6, gate_features=5, dtype=jnp.float32)
+
+    def run(flag):
+        torch_bn_flag(flag)
+        variables = module.init(jax.random.key(0), x, shared, True)
+        _, updates = module.apply(
+            variables, x, shared, True, mutable=["batch_stats"]
+        )
+        return updates["batch_stats"]
+
+    stats_off = run(False)
+    stats_on = run(True)
+    n = 2 * 4 * 4  # reduction count per channel
+    corr = n / (n - 1)
+    for key in ("var1", "var2"):
+        off = np.asarray(stats_off[key])
+        on = np.asarray(stats_on[key])
+        # running = 0.9*init(1) + 0.1*batch_var[*corr]
+        batch_var = (off - 0.9) / 0.1
+        expect_on = 0.9 + 0.1 * batch_var * corr
+        np.testing.assert_allclose(on, expect_on, rtol=1e-5)
+        assert not np.allclose(on, off)
+    # means unaffected by the switch
+    for key in ("mean1", "mean2"):
+        np.testing.assert_allclose(
+            np.asarray(stats_off[key]), np.asarray(stats_on[key]), rtol=1e-6
+        )

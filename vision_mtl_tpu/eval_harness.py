@@ -91,6 +91,15 @@ def load_run_model(
         channel_wise_stitching=channel_wise_stitching,
         fold_tail=run_args.get("fold_tail", False),
         remat_tail=run_args.get("remat_tail", 0),
+        # param-tree-shaping flag: a --fold_tasks run stacks attention
+        # params under *_folded, so restoring unfolded would fail
+        fold_tasks=run_args.get("fold_tasks", False),
+        # inert in eval mode but keeps build_model's process-global BN
+        # switch deterministic per run (models/registry.py)
+        torch_bn_var=run_args.get("torch_bn_var", False),
+        remat_encoder=run_args.get("remat_encoder", False),
+        remat_attention=run_args.get("remat_attention", False),
+        remat_shared=run_args.get("remat_shared", False),
         precision=precision,
         seed=11,
     )

@@ -114,8 +114,20 @@ class GateChain(nn.Module):
                 m = jnp.mean(zf, axis=(0, 1, 2))
                 v = jnp.var(zf, axis=(0, 1, 2))
                 if not self.is_initializing():
+                    v_upd = v
+                    # --torch_bn_var: the reference's attention BNs are torch
+                    # BatchNorm2d, whose running-var update is UNBIASED
+                    # (QUIRKS #11) — mirror the TorchVarBatchNorm correction
+                    # here so MTAN's GateChain honors the switch too.
+                    # (fused_attention_gate_train returns RAW batch stats;
+                    # any consumer owns this same correction.)
+                    from vision_mtl_tpu.models.blocks import torch_bn_running_var
+
+                    if torch_bn_running_var():
+                        n = zf.size // zf.shape[-1]
+                        v_upd = v * (n / max(n - 1, 1))
                     mean_v.value = self.momentum * mean_v.value + (1 - self.momentum) * m
-                    var_v.value = self.momentum * var_v.value + (1 - self.momentum) * v
+                    var_v.value = self.momentum * var_v.value + (1 - self.momentum) * v_upd
             else:
                 m, v = mean_v.value, var_v.value
             out = (zf - m) * jax.lax.rsqrt(v + self.epsilon) * scale + bias

@@ -23,11 +23,23 @@ def build_model(
 ) -> nn.Module:
     # global trace-time switch (same param tree either way); set here so
     # every construction surface — CLI, eval harness reloading a run's
-    # train_args.yaml, serving — applies the run's recorded BN semantics
-    if hasattr(args, "torch_bn_var"):
-        from vision_mtl_tpu.models.blocks import set_torch_bn_running_var
+    # train_args.yaml, serving — applies the run's recorded BN semantics.
+    # Always reset (attr if present, else the VMTL_TORCH_BN_VAR env
+    # default) so a build whose args lack the attribute cannot silently
+    # inherit a previous build's setting in the same process.
+    import os
 
-        set_torch_bn_running_var(bool(args.torch_bn_var))
+    from vision_mtl_tpu.models.blocks import set_torch_bn_running_var
+
+    set_torch_bn_running_var(
+        bool(
+            getattr(
+                args,
+                "torch_bn_var",
+                os.environ.get("VMTL_TORCH_BN_VAR", "0") == "1",
+            )
+        )
+    )
 
     model_name = getattr(args, "model_name", "basic")
     if model_name == "basic":
