@@ -27,6 +27,18 @@ import numpy as np
 # hardware for the same workload (docs/BENCH_NOTES.md)
 BASELINE_IMGS_PER_SEC = 30.0
 
+# hardware peaks for the roofline fraction (published in the JSON line so
+# the "~ON the HBM roofline" claim is driver-verified every round,
+# VERDICT r4 #6). Logical bytes/flops come from XLA's compiled
+# cost_analysis — the round-2 BENCH_NOTES methodology; fusion makes some
+# logical bytes non-physical and lane padding some physical bytes
+# non-logical, so logical-GB/s can legitimately sit slightly above the
+# physical peak when the step is bandwidth-bound.
+HW_PEAKS = {
+    # device_kind: (HBM bytes/s, bf16 FLOP/s)
+    "TPU v5 lite": (819e9, 197e12),  # v5e, public spec
+}
+
 # per-model sweet-spot batch sizes on v5e (measured bs sweeps,
 # docs/BENCH_NOTES.md; basic swept round 2, mtan/csnet round 3; nyuv2
 # shape swept late round 3 — mtan OOMs at bs>=64 at 256x256 and its
@@ -54,11 +66,15 @@ def measure(
     remat_shared: bool = False,
     fold_tasks: bool = False,
     grad_accum_steps: int = 1,
-) -> float:
+    with_eval: bool = False,
+    eval_steps: int = 0,
+) -> dict:
     """Measured train-step throughput (images/sec/chip) on device-resident
-    batches. Sync via a scalar fetch from the end of the dependency chain —
-    on the remote-attached TPU backend block_until_ready can return before
-    execution finishes, which silently turns timings into dispatch rates."""
+    batches, plus XLA cost-analysis (flops / logical bytes per step) for
+    the roofline fraction. Sync via a scalar fetch from the end of the
+    dependency chain — on the remote-attached TPU backend block_until_ready
+    can return before execution finishes, which silently turns timings into
+    dispatch rates. ``with_eval`` also times the eval-path step."""
     from vision_mtl_tpu.cfg import fetch_data_cfg
     from vision_mtl_tpu.metrics import init_metrics
     from vision_mtl_tpu.models import build_model
@@ -121,7 +137,87 @@ def measure(
     float(losses["loss"])  # losses chain through state/mstate -> full sync
     dt = time.perf_counter() - t0
 
-    return bs * steps / dt / len(jax.devices())
+    n_dev = len(jax.devices())
+    out = {
+        "imgs_per_sec": bs * steps / dt / n_dev,
+        "step_ms": dt / steps * 1e3,
+        "bs": bs,
+    }
+    out.update(_cost_analysis(step, state, pool[0], mstate))
+
+    if with_eval:
+        from vision_mtl_tpu.train.step import make_eval_step
+
+        estep = make_eval_step(model)
+        emstate = init_metrics(num_classes)
+        for i in range(warmup):
+            emstate, elosses = estep(state, pool[i % 2], emstate)
+        float(elosses["loss"])
+        # mstate is donated each call and chains every step; sync through
+        # the (losses-consuming) metrics. The ~24ms eval step is far more
+        # sensitive to relay dispatch stalls than the 65ms train step
+        # (observed 10x outliers), so take the median of 3 windows.
+        esteps = eval_steps or steps
+        window_dts = []
+        for _ in range(3):
+            emstate2 = init_metrics(num_classes)
+            t0 = time.perf_counter()
+            for i in range(esteps):
+                emstate2, elosses = estep(state, pool[i % 2], emstate2)
+            float(jnp.sum(emstate2.confmat))
+            window_dts.append(time.perf_counter() - t0)
+        dt = float(np.median(window_dts))
+        ev = {
+            "imgs_per_sec": bs * esteps / dt / n_dev,
+            "step_ms": dt / esteps * 1e3,
+            "bs": bs,
+        }
+        ev.update(_cost_analysis(estep, state, pool[0], init_metrics(num_classes)))
+        out["eval"] = ev
+    return out
+
+
+def _cost_analysis(jitted, *args) -> dict:
+    """flops / logical bytes per execution from the compiled executable
+    (XLA cost analysis — the BENCH_NOTES round-2 roofline methodology).
+    Best-effort: {} when the backend doesn't expose it."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return {
+            "gflop_per_step": float(ca["flops"]) / 1e9,
+            "logical_gb_per_step": float(ca["bytes accessed"]) / 1e9,
+        }
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"cost_analysis unavailable: {e!r}")
+        return {}
+
+
+def _roofline(res: dict) -> dict:
+    """Achieved TFLOP/s + logical GB/s and their fractions of the hardware
+    peaks (device_kind-keyed; fractions omitted off-TPU / unknown kinds)."""
+    if "gflop_per_step" not in res:
+        return {}
+    step_s = res["step_ms"] / 1e3
+    out = {
+        "gflop_per_step": round(res["gflop_per_step"], 1),
+        "logical_gb_per_step": round(res["logical_gb_per_step"], 2),
+        "achieved_tflops": round(res["gflop_per_step"] / step_s / 1e3, 1),
+        "achieved_logical_gbps": round(
+            res["logical_gb_per_step"] / step_s, 1
+        ),
+    }
+    peaks = HW_PEAKS.get(jax.devices()[0].device_kind)
+    if peaks:
+        hbm_peak, mxu_peak = peaks
+        out["hbm_frac"] = round(
+            res["logical_gb_per_step"] * 1e9 / step_s / hbm_peak, 3
+        )
+        out["mxu_frac"] = round(
+            res["gflop_per_step"] * 1e9 / step_s / mxu_peak, 3
+        )
+    return out
 
 
 def main() -> None:
@@ -211,31 +307,35 @@ def main() -> None:
         return DEFAULT_TPU_BS[args.dataset][name] if on_tpu else 4
 
     models = ["basic", "mtan", "csnet"] if args.all_models else [args.model]
+    flagship = "basic" if args.all_models else args.model
     results = {}
     for name in models:
-        results[name] = round(
-            measure(
-                name,
-                auto_bs(name),
-                steps,
-                warmup,
-                args.height,
-                args.width,
-                dataset=args.dataset,
-                fold_tail=args.fold_tail,
-                merge_heads=args.merge_heads,
-                remat_tail=args.remat_tail,
-                remat_encoder=args.remat_encoder,
-                remat_attention=args.remat_attention,
-                remat_shared=args.remat_shared,
-                fold_tasks=args.fold_tasks,
-                grad_accum_steps=args.grad_accum_steps,
-            ),
-            2,
+        results[name] = measure(
+            name,
+            auto_bs(name),
+            steps,
+            warmup,
+            args.height,
+            args.width,
+            dataset=args.dataset,
+            fold_tail=args.fold_tail,
+            merge_heads=args.merge_heads,
+            remat_tail=args.remat_tail,
+            remat_encoder=args.remat_encoder,
+            remat_attention=args.remat_attention,
+            remat_shared=args.remat_shared,
+            fold_tasks=args.fold_tasks,
+            grad_accum_steps=args.grad_accum_steps,
+            # eval-path roofline for the flagship only (one extra program);
+            # full step count — short eval windows are dispatch-pipeline-
+            # limited through the relay (15 steps read 3991 img/s where 30
+            # read ~5000+; the steady-state number needs the longer window)
+            with_eval=(name == flagship),
+            eval_steps=steps,
         )
 
-    flagship = "basic" if args.all_models else args.model
-    value = results[flagship]
+    res = results[flagship]
+    value = round(res["imgs_per_sec"], 2)
     payload = {
         "metric": (
             f"train images/sec/chip ({flagship}, {args.height}x{args.width} "
@@ -250,9 +350,24 @@ def main() -> None:
         "baseline_kind": "estimated",
         "baseline_imgs_per_sec": BASELINE_IMGS_PER_SEC,
         "measured_torch_cpu_anchor_imgs_per_sec": 1.54,
+        "device_kind": jax.devices()[0].device_kind,
     }
+    # self-verifying roofline position (VERDICT r4 #6): fraction of the
+    # HBM-bandwidth roofline the train step achieves, from XLA's own
+    # cost analysis ÷ measured step time
+    train_rf = _roofline(res)
+    if train_rf:
+        payload["roofline"] = train_rf
+        if "hbm_frac" in train_rf:
+            payload["roofline_frac"] = train_rf["hbm_frac"]
+    if "eval" in res:
+        ev = {"imgs_per_sec": round(res["eval"]["imgs_per_sec"], 2)}
+        ev.update(_roofline(res["eval"]))
+        payload["eval_path"] = ev
     if args.all_models:
-        payload["per_model"] = results
+        payload["per_model"] = {
+            n: round(r["imgs_per_sec"], 2) for n, r in results.items()
+        }
     print(json.dumps(payload))
 
 
