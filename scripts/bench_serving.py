@@ -51,6 +51,17 @@ def main() -> None:
         default="float32",
         help="compiled input dtype (uint8 = 4x smaller H2D, /255 on device)",
     )
+    p.add_argument(
+        "--inflight", type=int, default=0,
+        help="per-client outstanding requests (0 = blocking clients, the "
+        "legacy r4 pattern). K>1 makes offered load exceed service rate "
+        "so the batcher is measured at SATURATION (VERDICT r4 #1)",
+    )
+    p.add_argument(
+        "--compact_out", action="store_true",
+        help="uint8 segm argmax + f16 depth on the response wire (~4x "
+        "smaller D2H — the binding bound on relay-attached hosts)",
+    )
     p.add_argument("--run_dir", default=None, help="serve a trained run")
     p.add_argument("--http", action="store_true", help="also time HTTP e2e")
     args = p.parse_args()
@@ -130,11 +141,11 @@ def main() -> None:
     # -- 2. dynamic batcher under concurrent single-image clients ----------
     with BatchingServer(
         model, state, h, w, buckets=buckets, max_wait_ms=args.max_wait_ms,
-        dtype=jdtype,
+        dtype=jdtype, compact_out=args.compact_out,
     ) as server:
         img = make_imgs(1)[0]
 
-        def client(_i: int) -> float:
+        def client_blocking(_i: int) -> float:
             lats = []
             for _ in range(args.requests_per_client):
                 t0 = time.perf_counter()
@@ -142,10 +153,31 @@ def main() -> None:
                 lats.append(time.perf_counter() - t0)
             return float(np.median(lats))
 
+        def client_pipelined(_i: int) -> float:
+            """Keep --inflight requests outstanding: offered load exceeds
+            service rate, so the batcher is measured at saturation."""
+            from collections import deque
+
+            lats = []
+            outstanding: deque = deque()
+            for _ in range(args.requests_per_client):
+                if len(outstanding) >= args.inflight:
+                    t0, fut = outstanding.popleft()
+                    fut.result()
+                    lats.append(time.perf_counter() - t0)
+                outstanding.append((time.perf_counter(), server.submit(img)))
+            while outstanding:
+                t0, fut = outstanding.popleft()
+                fut.result()
+                lats.append(time.perf_counter() - t0)
+            return float(np.median(lats))
+
+        client = client_pipelined if args.inflight > 0 else client_blocking
+
         # warm every bucket program + the queue path, then zero the
         # counters so the reported stats cover only the timed window
         server.warmup()
-        server.predict(img)
+        probe = server.predict(img)
         server.reset_stats()
         t0 = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(args.clients) as ex:
@@ -153,8 +185,14 @@ def main() -> None:
         wall = time.perf_counter() - t0
         total = args.clients * args.requests_per_client
         stats = server.stats()
+        # wire-byte accounting: is the number transfer-bound? (on relay
+        # hosts the tunnel envelope is ~20-45 MB/s — BENCH_NOTES)
+        bytes_per_req = img.nbytes + sum(v.nbytes for v in probe.values())
+        wire_mbps = total / wall * bytes_per_req / 1e6
         results["batching"] = {
             "clients": args.clients,
+            "inflight_per_client": args.inflight,
+            "compact_out": args.compact_out,
             "total_requests": total,
             "imgs_per_s": round(total / wall, 1),
             "client_median_latency_ms": round(
@@ -162,14 +200,18 @@ def main() -> None:
             ),
             "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 3),
             "batches": stats["batches"],
+            "wire_bytes_per_request": bytes_per_req,
+            "achieved_wire_MBps": round(wire_mbps, 1),
         }
         print(
             f"batcher: {args.clients} clients x {args.requests_per_client} "
-            f"reqs -> {results['batching']['imgs_per_s']} img/s, "
+            f"reqs (inflight {args.inflight or 'blocking'}) -> "
+            f"{results['batching']['imgs_per_s']} img/s, "
             f"median client latency "
             f"{results['batching']['client_median_latency_ms']} ms, "
             f"occupancy {results['batching']['mean_batch_occupancy']} "
-            f"({stats['batches']} batches)"
+            f"({stats['batches']} batches), wire {wire_mbps:.1f} MB/s "
+            f"({bytes_per_req / 1e3:.0f} KB/req)"
         )
 
     # -- 3. HTTP end-to-end (optional) --------------------------------------

@@ -404,3 +404,26 @@ def test_meshed_predictor_matches_single_device(rng):
     # ragged final batch pads under the mesh too
     o2 = p1(imgs[:3])
     np.testing.assert_array_equal(o2["segm"], o0["segm"][:3])
+
+
+def test_compact_out_wire_format(model_state, rng):
+    """compact_out=True: segm argmax as uint8 (lossless) and depth as f16
+    (quantized within f16 eps of the f32 value) — the ~4x-smaller response
+    wire for transfer-bound serving (BENCH_NOTES r5)."""
+    model, state = model_state
+    imgs = rng.uniform(0, 1, size=(2, 16, 16, 3)).astype(np.float32)
+    ref = Predictor(model, state, 2, 16, 16)(imgs)
+    out = Predictor(model, state, 2, 16, 16, compact_out=True)(imgs)
+    assert out["segm"].dtype == np.uint8
+    assert out["depth"].dtype == np.float16
+    np.testing.assert_array_equal(out["segm"], ref["segm"].astype(np.uint8))
+    np.testing.assert_allclose(
+        out["depth"].astype(np.float32), ref["depth"], atol=5e-4
+    )
+    # batching server passes the flag through to every bucket
+    with BatchingServer(
+        model, state, 16, 16, buckets=(1, 2), compact_out=True
+    ) as srv:
+        got = srv.predict(imgs[0])
+        assert got["segm"].dtype == np.uint8
+        np.testing.assert_array_equal(got["segm"], ref["segm"][0])

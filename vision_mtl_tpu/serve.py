@@ -217,6 +217,13 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
         "4x and normalizes on device (clients must then send raw uint8)",
     )
     p.add_argument(
+        "--compact_out",
+        action="store_true",
+        help="uint8 segm argmax + float16 depth in the .npz response "
+        "(~4x smaller; argmax is lossless, depth quantized to f16 — "
+        "the response npz is self-describing so clients need no change)",
+    )
+    p.add_argument(
         "--device",
         default="tpu",
         help="'tpu' (default backend) or 'cpu[:N]' — same as the training CLI",
@@ -279,6 +286,7 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
             "width": data_cfg.width,
             "buckets": list(buckets),
             "wire_dtype": args.wire_dtype,
+            "compact_out": args.compact_out,
         }
     )
 
@@ -292,6 +300,7 @@ def main(argv: t.Optional[t.Sequence[str]] = None) -> None:
         buckets=buckets,
         max_wait_ms=args.max_wait_ms,
         dtype=jnp.uint8 if wire_dtype == np.uint8 else jnp.float32,
+        compact_out=args.compact_out,
     )
     server = make_server(
         batcher,
