@@ -21,12 +21,13 @@ one program per batch bucket, and serves:
 
 ``--wire_dtype uint8`` compiles the bucket programs for raw uint8 input and
 moves the /255 normalization onto the device (an fp32 divide either way;
-verified numerically equivalent to host-side normalization on CPU —
-tests/test_wire_format.py — though TPU rounding of the divide is not
-guaranteed bit-identical to numpy's) — the host->device image transfer
-shrinks 4x, which matters when PCIe/relay bandwidth, not compute, bounds
-request latency. Float bodies are rejected in this mode (a host-side round
-trip through uint8 would quantize them).
+measured BIT-EXACT against host-side normalization ON the TPU: 0 segm
+argmax flips and 0 depth ULP delta over 8.4M pixels of the flagship
+model — scripts/dissect_wire_parity.py, BENCH_NOTES r5; CPU equivalence in
+tests/test_wire_format.py) — the host->device image transfer shrinks 4x,
+which matters when PCIe/relay bandwidth, not compute, bounds request
+latency. Float bodies are rejected in this mode (a host-side round trip
+through uint8 would quantize them).
 
 ``--demo`` starts without a checkpoint (fresh weights on the synthetic
 config) for smoke runs and tests.
