@@ -111,6 +111,40 @@ def test_cache_rejected_when_stale(nyu_tree):
     assert other.load_batch([0]) is None
 
 
+def test_cache_rejected_when_source_regenerated(nyu_tree):
+    """Rewriting a source PNG IN PLACE (same filename — e.g. a regenerated
+    synthetic tree or a corrected data drop) must invalidate the cache:
+    meta.json carries a size+mtime source fingerprint (round-5 fix; the
+    filename-only sha1 kept serving stale arrays)."""
+    import os
+    import time
+
+    from PIL import Image
+
+    from vision_mtl_tpu.data.nyu_cache import build_cache, cache_valid
+
+    spec = ResizeSpec(32, 32, antialias=True)
+    ds = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
+    build_cache(ds)
+    assert cache_valid(ds)
+    # overwrite one rgb png with different content, same name
+    fn = ds.filenames[0]
+    path = os.path.join(nyu_tree, "train_rgb", fn)
+    rng = np.random.default_rng(99)
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    Image.fromarray(
+        rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    ).save(path)
+    assert not cache_valid(ds)
+    # a fresh dataset instance falls back to the python path, then rebuild
+    ds2 = NYUv2(stage="train", data_base_dir=nyu_tree, transforms=spec)
+    assert ds2.load_batch([0]) is None
+    build_cache(ds2)
+    assert cache_valid(ds2)
+    batch = ds2.load_batch([0])
+    np.testing.assert_array_equal(batch["img"][0], ds2[0]["img"])
+
+
 def test_cache_loader_integration(nyu_tree):
     """DataLoader picks up the cached load_batch automatically and yields
     the same batches as the per-sample path."""

@@ -12,7 +12,8 @@ nyuv2.py:93-133) and writes the prepared arrays to flat ``.npy`` memmaps:
         img.npy    (N, H, W, 3) float32   — exactly prepare_sample's output
         mask.npy   (N, H, W)    uint8     — int32 on read (values are 0..255)
         depth.npy  (N, H, W, 1) float32
-        meta.json  {version, n, height, width, max_depth, filenames_sha1}
+        meta.json  {version, n, height, width, max_depth, filenames_sha1,
+                    source_sig (size+mtime content fingerprint)}
 
 ``NYUv2.load_batch`` serves training batches straight from the memmaps
 (a fancy-index gather = one memcpy per stream), so the cached path is
@@ -43,6 +44,27 @@ def _filenames_sha1(filenames: t.Sequence[str]) -> str:
     return h.hexdigest()
 
 
+def _source_sig(ds: t.Any) -> str:
+    """Content fingerprint of the source PNGs (size + mtime per file).
+    Without it, a dataset tree regenerated IN PLACE (same filenames — e.g.
+    scripts/make_synthetic_trees.py rerun, or a corrected data drop) would
+    silently keep serving the stale cache. stat-only: ~2400 stats, no
+    reads."""
+    h = hashlib.sha1()
+    parts = ["rgb", "seg13", "depth"] + (
+        ["sn"] if getattr(ds, "use_sn", False) else []
+    )
+    for part in parts:
+        d = os.path.join(ds.data_base_dir, f"{ds.stage}_{part}")
+        for fn in ds.filenames:
+            try:
+                st = os.stat(os.path.join(d, fn))
+                h.update(f"{part}/{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(f"{part}/{fn}:missing".encode())
+    return h.hexdigest()
+
+
 def cache_dir_for(ds: t.Any) -> str:
     spec = ds.transform
     tag = f"{spec.height}x{spec.width}" if spec is not None else "raw"
@@ -59,6 +81,7 @@ def _meta_for(ds: t.Any, shapes: t.Dict[str, tuple]) -> t.Dict[str, t.Any]:
         "width": int(shapes["img"][1]),
         "max_depth": float(ds.max_depth),
         "filenames_sha1": _filenames_sha1(ds.filenames),
+        "source_sig": _source_sig(ds),
     }
 
 
@@ -165,6 +188,7 @@ def cache_valid(ds: t.Any) -> bool:
         "n": len(ds),
         "max_depth": float(ds.max_depth),
         "filenames_sha1": _filenames_sha1(ds.filenames),
+        "source_sig": _source_sig(ds),
     }
     if any(meta.get(k) != v for k, v in expected.items()):
         return False
