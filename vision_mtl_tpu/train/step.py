@@ -325,6 +325,21 @@ def _constrain_to_mesh(batch, mesh):
     return jax.lax.with_sharding_constraint(batch, batch_sharding(mesh, batch))
 
 
+def _compiler_options() -> t.Optional[t.Dict[str, str]]:
+    """Optional XLA compiler options for the jitted steps from
+    ``VMTL_COMPILER_OPTIONS="k=v,k=v"`` — deployment-side TPU tuning
+    (e.g. ``xla_tpu_scoped_vmem_limit_kib=98304``) without code changes.
+    Needed because backend flags in XLA_FLAGS cannot reach a
+    remote/relay-attached compiler; per-jit compiler_options can
+    (measured sweep: docs/BENCH_NOTES.md round 5)."""
+    import os
+
+    spec = os.environ.get("VMTL_COMPILER_OPTIONS")
+    if not spec:
+        return None
+    return dict(kv.split("=", 1) for kv in spec.split(",") if "=" in kv)
+
+
 def _jit_step(step, mesh, donate, donate_argnums=(0, 2)):
     if mesh is not None:
         inner = step
@@ -332,6 +347,10 @@ def _jit_step(step, mesh, donate, donate_argnums=(0, 2)):
         def step(state, batch, mstate):
             return inner(state, _constrain_to_mesh(batch, mesh), mstate)
 
+    kw: t.Dict[str, t.Any] = {}
+    opts = _compiler_options()
+    if opts:
+        kw["compiler_options"] = opts
     if donate:
-        return jax.jit(step, donate_argnums=donate_argnums)
-    return jax.jit(step)
+        return jax.jit(step, donate_argnums=donate_argnums, **kw)
+    return jax.jit(step, **kw)
