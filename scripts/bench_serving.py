@@ -224,6 +224,7 @@ def main() -> None:
         batcher = BatchingServer(
             model, state, h, w, buckets=buckets,
             max_wait_ms=args.max_wait_ms, dtype=jdtype,
+            compact_out=args.compact_out,
         )
         httpd = make_server(
             batcher, (h, w, 3),
@@ -235,6 +236,9 @@ def main() -> None:
         np.save(buf, img if wire_u8 else (img * 255).astype(np.uint8))
         body = buf.getvalue()
         url = f"http://{host}:{port}/predict"
+
+        # serial latency (one warm connection's view)
+        batcher.warmup()
         lats = []
         for _ in range(args.n):
             t0 = time.perf_counter()
@@ -249,6 +253,34 @@ def main() -> None:
             "p99_ms": round(lats[min(int(len(lats) * 0.99), len(lats) - 1)], 2),
         }
         print(f"http e2e: p50 {results['http']['p50_ms']} ms")
+
+        # concurrent-client throughput over the real wire (the http.server
+        # daemon is ThreadingHTTPServer: one thread per connection, so
+        # --clients concurrent POST streams coalesce in the batcher)
+        def http_client(_i: int) -> int:
+            for _ in range(args.requests_per_client):
+                with urllib.request.urlopen(
+                    urllib.request.Request(url, data=body, method="POST")
+                ) as r:
+                    r.read()
+            return args.requests_per_client
+
+        batcher.reset_stats()
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(args.clients) as ex:
+            total = sum(ex.map(http_client, range(args.clients)))
+        wall = time.perf_counter() - t0
+        stats = batcher.stats()
+        results["http_concurrent"] = {
+            "clients": args.clients,
+            "imgs_per_s": round(total / wall, 1),
+            "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 3),
+        }
+        print(
+            f"http concurrent: {args.clients} clients -> "
+            f"{results['http_concurrent']['imgs_per_s']} img/s, occupancy "
+            f"{results['http_concurrent']['mean_batch_occupancy']}"
+        )
         httpd.shutdown()
         httpd.server_close()
         batcher.close()
