@@ -368,6 +368,8 @@ def main() -> None:
         payload["per_model"] = {
             n: round(r["imgs_per_sec"], 2) for n, r in results.items()
         }
+        pmr = {n: _roofline(r) for n, r in results.items()}
+        payload["per_model_roofline"] = {n: v for n, v in pmr.items() if v}
     print(json.dumps(payload))
 
 
