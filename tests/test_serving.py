@@ -427,3 +427,34 @@ def test_compact_out_wire_format(model_state, rng):
         got = srv.predict(imgs[0])
         assert got["segm"].dtype == np.uint8
         np.testing.assert_array_equal(got["segm"], ref["segm"][0])
+
+
+def test_http_compact_out_server(model_state, rng):
+    """serve.py --compact_out: the npz response carries uint8 segm and
+    f16 depth (self-describing — clients need no change), values matching
+    the full-precision predictor."""
+    import io
+
+    from vision_mtl_tpu.serve import make_server, serve_in_thread
+
+    model, state = model_state
+    with BatchingServer(
+        model, state, height=16, width=16, buckets=(1, 2), compact_out=True
+    ) as srv:
+        server = make_server(srv, (16, 16, 3))
+        serve_in_thread(server)
+        try:
+            imgs = rng.uniform(0, 1, size=(2, 16, 16, 3)).astype(np.float32)
+            status, body = _request(server, "POST", "/predict", _npy_bytes(imgs))
+            assert status == 200
+            out = np.load(io.BytesIO(body))
+            assert out["segm"].dtype == np.uint8
+            assert out["depth"].dtype == np.float16
+            ref = Predictor(model, state, batch_size=2, height=16, width=16)(imgs)
+            np.testing.assert_array_equal(out["segm"], ref["segm"])
+            np.testing.assert_allclose(
+                out["depth"].astype(np.float32), ref["depth"], atol=5e-4
+            )
+        finally:
+            server.shutdown()
+            server.server_close()

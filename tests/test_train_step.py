@@ -228,3 +228,21 @@ def test_predict_step_without_ground_truth(rng):
     assert preds["depth"].shape == (2, 16, 16, 1)
     assert losses == {}
     assert float(m1.num_steps) == 0.0
+
+
+def test_compiler_options_env(monkeypatch):
+    """VMTL_COMPILER_OPTIONS="k=v,k=v" parses into jit compiler options;
+    unset/malformed entries are ignored (train/step.py; the knob exists
+    because XLA_FLAGS cannot reach a remote/relay-attached compiler)."""
+    from vision_mtl_tpu.train.step import _compiler_options
+
+    monkeypatch.delenv("VMTL_COMPILER_OPTIONS", raising=False)
+    assert _compiler_options() is None
+    monkeypatch.setenv(
+        "VMTL_COMPILER_OPTIONS",
+        "xla_tpu_scoped_vmem_limit_kib=98304,a=b=c,junk",
+    )
+    assert _compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "98304",
+        "a": "b=c",
+    }
