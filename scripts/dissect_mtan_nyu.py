@@ -152,5 +152,5 @@ def main() -> None:
             print(json.dumps({"bs": bs, "failed": f"{type(e).__name__}: {e}"[:200]}))
 
 
-if __name__ == "____main__" or __name__ == "__main__":
+if __name__ == "__main__":
     main()
