@@ -37,8 +37,9 @@ def _predict_fn(model: t.Any, compact_out: bool = False):
     """``compact_out`` shrinks the response wire format: segm argmax as
     uint8 (lossless — every supported head has <=255 classes) and depth as
     float16 (~3 decimal digits; depth lives in [0,1] after the sigmoid).
-    Cuts the per-image D2H payload ~4x (655KB -> 163KB at 128x256), which
-    is the binding bound for relay-attached serving (BENCH_NOTES r5)."""
+    Cuts the per-image D2H payload ~2.7x (256KB -> 96KB at 128x256; the
+    full request wire shrinks 655KB -> 197KB with uint8 input), which is
+    the binding bound for relay-attached serving (BENCH_NOTES r5)."""
 
     def fn(params, batch_stats, img):
         if img.dtype == jnp.uint8:
